@@ -1,0 +1,26 @@
+"""pytorch_volumetric_tpu: TPU-native differentiable distance-field engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+``pytorch_volumetric`` (flat public namespace mirroring the reference's
+``__init__.py:1-9``): batched SDF value+gradient queries on meshes, voxel
+grids with automatic expansion, unidirectional chamfer distance, and robot
+model → SDF over batched joint configurations.
+"""
+
+from pytorch_volumetric_tpu.sdf import (
+    SDFQuery, ObjectFactory, MeshObjectFactory, ObjectFrameSDF, SphereSDF,
+    MeshSDF, ComposedSDF, CachedSDF, OutOfBoundsStrategy, sample_mesh_points,
+    aabb_corners,
+)
+from pytorch_volumetric_tpu.voxel import (
+    Voxels, VoxelGrid, VoxelSet, ExpandingVoxelGrid, GridView,
+    get_divisible_range_by_resolution, get_coordinates_and_points_in_grid,
+    voxel_down_sample, bounds_contain_another_bounds,
+)
+from pytorch_volumetric_tpu.volume import is_inside
+from pytorch_volumetric_tpu.transforms import (
+    Transform3d, Translate, random_rotation, matrix_to_rotation_6d,
+    euler_angles_to_matrix,
+)
+from pytorch_volumetric_tpu import mesh
+from pytorch_volumetric_tpu import transforms

@@ -1,0 +1,716 @@
+"""Object-frame signed distance fields (the central abstraction).
+
+TPU-native re-implementation of the reference's ``sdf.py``: the
+``ObjectFrameSDF`` protocol ``pts [.., N, 3] -> (val [.., N], grad [.., N, 3])``
+(reference sdf.py:217-246) with concrete ``SphereSDF``, ``MeshSDF``,
+``ComposedSDF`` and ``CachedSDF`` implementations.
+
+Key departures from the reference, driven by the TPU/XLA model:
+
+- Mesh queries run a brute-force Pallas/XLA triangle sweep
+  (``ops.point_triangle``) instead of Open3D's C++ BVH; the inside/outside
+  sign comes from a deterministic generalized winding number instead of
+  jittered ray parity (reference sdf.py:147-154).
+- Every SDF exposes a pure ``raw_query(pts [P, 3])`` traceable function, so
+  compositions (``ComposedSDF``, ``RobotSDF``) jit into a single fused XLA
+  program; ``__call__`` wraps it with batch flattening and per-instance jit.
+- Values are differentiable w.r.t. query points (and hence object poses and
+  joint angles via the chain rule) through ``jax.custom_vjp`` using the
+  analytic SDF gradient.
+- Disk caches are ``.npz`` (no pickles of device arrays).
+"""
+
+from __future__ import annotations
+
+import abc
+import enum
+import logging
+import math
+import os
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_volumetric_tpu import mesh as mesh_mod
+from pytorch_volumetric_tpu import transforms as tfm
+from pytorch_volumetric_tpu.ops.point_triangle import signed_closest_query
+from pytorch_volumetric_tpu.utils.batching import as_float_array, flatten_batch
+from pytorch_volumetric_tpu.utils.cache import get_store
+from pytorch_volumetric_tpu.voxel import (
+    GridView, VoxelGrid, get_coordinates_and_points_in_grid,
+    get_divisible_range_by_resolution,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class SDFQuery(NamedTuple):
+    closest: jnp.ndarray
+    distance: jnp.ndarray
+    gradient: jnp.ndarray
+    normal: Union[jnp.ndarray, None]
+
+
+# ---------------------------------------------------------------------------
+# Object factories (mesh loading/framing; reference sdf.py:30-214)
+# ---------------------------------------------------------------------------
+
+class ObjectFactory(abc.ABC):
+    """Loads and frames a triangle mesh and answers closest-point queries.
+
+    Mirrors reference sdf.py:30-189 with the Open3D raycasting scene replaced
+    by a :class:`mesh.MeshScene` of padded device triangle arrays.
+    """
+
+    def __init__(self, name="", scale=1.0, vis_frame_pos=(0, 0, 0),
+                 vis_frame_rot=(0, 0, 0, 1), plausible_suboptimality=0.001,
+                 mesh: Optional[mesh_mod.TriangleMesh] = None,
+                 surface_normal_eps: float = 1e-3, **kwargs):
+        self.name = name
+        self.scale = scale if scale is not None else 1.0
+        # frame from the mesh's own frame to the object (simulation) frame
+        self.vis_frame_pos = vis_frame_pos
+        self.vis_frame_rot = vis_frame_rot
+        self.other_load_kwargs = kwargs
+        self.plausible_suboptimality = plausible_suboptimality
+        self.surface_normal_eps = surface_normal_eps
+
+        self._mesh = mesh
+        self._scene: Optional[mesh_mod.MeshScene] = None
+        self._query_fn = None
+        self.precompute_sdf()
+
+    def __reduce__(self):
+        return partial(self.__class__, scale=self.scale,
+                       vis_frame_pos=self.vis_frame_pos,
+                       vis_frame_rot=self.vis_frame_rot,
+                       plausible_suboptimality=self.plausible_suboptimality,
+                       **self.other_load_kwargs), (self.name,)
+
+    def make_collision_obj(self, z, rgba=None):
+        return None, None
+
+    @abc.abstractmethod
+    def get_mesh_resource_filename(self) -> str:
+        """Path to the mesh resource file (.obj, .stl, ...)."""
+
+    def get_mesh_high_poly_resource_filename(self) -> str:
+        return self.get_mesh_resource_filename()
+
+    def draw_mesh(self, dd, name, pose, rgba, object_id=None):
+        frame_pos = np.array(self.vis_frame_pos) * self.scale
+        return dd.draw_mesh(name, self.get_mesh_resource_filename(), pose,
+                            scale=self.scale, rgba=rgba, object_id=object_id,
+                            vis_frame_pos=frame_pos, vis_frame_rot=self.vis_frame_rot)
+
+    def precompute_sdf(self):
+        """Load + frame the mesh (scale, vis-frame rotate about origin,
+        translate by scaled vis-frame position; reference sdf.py:97-120) and
+        pack device triangle data."""
+        if self._mesh is None:
+            full_path = os.path.expanduser(self.get_mesh_high_poly_resource_filename())
+            if not os.path.exists(full_path):
+                raise RuntimeError(f"Expected mesh file does not exist: {full_path}")
+            m = mesh_mod.read_triangle_mesh(full_path)
+            m = m.scale(self.scale)
+            R = np.asarray(tfm.quaternion_xyzw_to_matrix(
+                np.asarray(self.vis_frame_rot, dtype=np.float32)))
+            m = m.rotate(R, center=[0, 0, 0])
+            m = m.translate(np.asarray(self.vis_frame_pos) * self.scale)
+            self._mesh = m
+        if self._scene is None:
+            self._scene = mesh_mod.MeshScene.from_mesh(self._mesh)
+            eps = self.surface_normal_eps
+            tri, normals = self._scene.tri, self._scene.normals
+
+            def raw(pts):
+                return signed_closest_query(pts, tri, normals,
+                                            surface_normal_eps=eps)
+
+            self._query_fn = jax.jit(raw)
+
+    def bounding_box(self, padding=0.0, padding_ratio=0.0) -> np.ndarray:
+        """[3, 2] AABB of the framed mesh with padding (reference sdf.py:80-89)."""
+        ranges = self._mesh.aabb().copy()
+        extents = ranges[:, 1] - ranges[:, 0]
+        ranges[:, 0] -= padding + padding_ratio * extents
+        ranges[:, 1] += padding + padding_ratio * extents
+        return ranges
+
+    def center(self) -> np.ndarray:
+        if self._mesh is None:
+            self.precompute_sdf()
+        return self._mesh.center()
+
+    @property
+    def scene(self) -> mesh_mod.MeshScene:
+        return self._scene
+
+    def object_frame_closest_point(self, points_in_object_frame,
+                                   compute_normal=False) -> SDFQuery:
+        """Batched closest point / signed distance / SDF gradient / normal
+        (reference sdf.py:122-189).  Input ``[.., N, 3]``; leading dims are
+        preserved on all outputs."""
+        pts = as_float_array(points_in_object_frame)
+        flat = pts.reshape(-1, pts.shape[-1])
+        closest, dist, grad, normal = self._query_fn(flat)
+        batch = pts.shape[:-1]
+        closest = closest.reshape(batch + (3,))
+        dist = dist.reshape(batch)
+        grad = grad.reshape(batch + (3,))
+        normal = normal.reshape(batch + (3,)) if compute_normal else None
+        return SDFQuery(closest, dist, grad, normal)
+
+
+class MeshObjectFactory(ObjectFactory):
+    """Mesh from a file path with optional prefix joining and ``package://``
+    stripping (reference sdf.py:192-214)."""
+
+    def __init__(self, mesh_name="", path_prefix="", **kwargs):
+        self.path_prefix = path_prefix
+        self.strip_package_prefix = path_prefix != ""
+        super().__init__(mesh_name, **kwargs)
+
+    def __reduce__(self):
+        return partial(self.__class__, path_prefix=self.path_prefix,
+                       scale=self.scale, vis_frame_pos=self.vis_frame_pos,
+                       vis_frame_rot=self.vis_frame_rot,
+                       plausible_suboptimality=self.plausible_suboptimality,
+                       **self.other_load_kwargs), (self.name,)
+
+    def get_mesh_resource_filename(self) -> str:
+        mesh_path = self.name
+        if self.strip_package_prefix:
+            mesh_path = mesh_path.replace("package://", "")
+        return os.path.join(self.path_prefix, mesh_path)
+
+
+def aabb_corners(aabb) -> jnp.ndarray:
+    """[3, 2] AABB -> its 8 corner points [8, 3]."""
+    bb = jnp.asarray(aabb)
+    lo, hi = bb[:, 0], bb[:, 1]
+    sel = jnp.asarray([[(c >> d) & 1 for d in range(3)] for c in range(8)],
+                      dtype=bb.dtype)
+    return lo + sel * (hi - lo)
+
+
+# ---------------------------------------------------------------------------
+# SDF protocol
+# ---------------------------------------------------------------------------
+
+class ObjectFrameSDF(abc.ABC):
+    """SDF protocol: ``pts [.., N, d] -> (val [.., N], grad [.., N, d])``
+    (reference sdf.py:217-282).  Subclasses implement the pure traceable
+    :meth:`raw_query`; ``__call__`` adds input coercion, batch flattening and
+    per-instance jit."""
+
+    _jit_cache = None
+
+    @abc.abstractmethod
+    def raw_query(self, points: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pure function on flat points ``[P, d]`` -> ``(val [P], grad [P, d])``.
+        Must be traceable (jit/vmap/grad-safe)."""
+
+    @abc.abstractmethod
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        """(min, max) per dimension of the 0-level set."""
+
+    def _jitted(self):
+        if self._jit_cache is None:
+            self._jit_cache = jax.jit(self.raw_query)
+        return self._jit_cache
+
+    def __call__(self, points_in_object_frame):
+        pts = as_float_array(points_in_object_frame)
+        batch = pts.shape[:-1]
+        flat = pts.reshape(-1, pts.shape[-1])
+        val, grad = self._jitted()(flat)
+        return val.reshape(batch), grad.reshape(batch + pts.shape[-1:])
+
+    def outside_surface(self, points_in_object_frame, surface_level=0):
+        """B x N bool; separate so implementations can specialize
+        (reference sdf.py:236-246)."""
+        sdf_values, _ = self(points_in_object_frame)
+        return sdf_values > surface_level
+
+    def get_voxel_view(self, voxels: Optional[VoxelGrid] = None, dtype=jnp.float32,
+                       device=None) -> GridView:
+        """Rasterize this SDF onto a voxel grid; out-of-grid queries fall back
+        to evaluating the SDF itself (reference sdf.py:248-264)."""
+        if voxels is None:
+            bb = np.asarray(self.surface_bounding_box(padding=0.1))
+            voxels = VoxelGrid(0.01, bb, dtype=dtype)
+        pts = voxels.get_voxel_center_points()
+        sdf_val, _ = self(pts)
+        shape = [len(c) for c in voxels.coords]
+        return GridView(sdf_val.reshape(shape), voxels.range_per_dim,
+                        invalid_value=lambda p: self(p)[0])
+
+    def get_filtered_points(self, unary_filter, voxels: Optional[VoxelGrid] = None,
+                            dtype=jnp.float32, device=None) -> jnp.ndarray:
+        """Voxel-center points whose SDF value passes ``unary_filter``
+        (reference sdf.py:266-282).  Output size is data-dependent, so this is
+        a host-facing (non-jit) op."""
+        view = self.get_voxel_view(voxels, dtype=dtype)
+        interior = np.asarray(unary_filter(view.raw_data))
+        indices = np.argwhere(interior)
+        return view.ensure_value_key(jnp.asarray(indices))
+
+
+class SphereSDF(ObjectFrameSDF):
+    """Analytic sphere at the origin (reference sdf.py:285-299)."""
+
+    def __init__(self, radius: float):
+        self.radius = radius
+
+    def raw_query(self, points):
+        dist_to_origin = jnp.linalg.norm(points, axis=-1)
+        dist = dist_to_origin - self.radius
+        grad = points / (dist_to_origin[..., None] + 1e-12)
+        return dist, grad
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        length = self.radius + padding + padding_ratio * self.radius
+        return jnp.asarray([[-length, length]] * 3)
+
+
+def _straight_through_sdf(raw_fn: Callable) -> Callable:
+    """Wrap ``pts -> (val, grad)`` with a custom VJP whose derivative of the
+    value w.r.t. the points is the analytic gradient itself.  This is what
+    makes pose/joint-angle gradients flow through transforms and FK by the
+    chain rule.  (Second derivatives of the gradient output are treated as
+    zero.)"""
+    f = jax.custom_vjp(raw_fn)
+
+    def fwd(pts):
+        val, grad = raw_fn(pts)
+        return (val, grad), grad
+
+    def bwd(residual_grad, cotangents):
+        ct_val, _ct_grad = cotangents
+        return (ct_val[..., None] * residual_grad,)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+class MeshSDF(ObjectFrameSDF):
+    """Exact SDF from the triangle sweep (reference sdf.py:302-329)."""
+
+    def __init__(self, obj_factory: ObjectFactory, vis=None):
+        self.obj_factory = obj_factory
+        self.vis = vis
+        scene = obj_factory.scene
+        tri, normals = scene.tri, scene.normals
+        eps = obj_factory.surface_normal_eps
+
+        def raw(pts):
+            _, val, grad, _ = signed_closest_query(pts, tri, normals,
+                                                   surface_normal_eps=eps)
+            return val, grad
+
+        self._raw = _straight_through_sdf(raw)
+
+    def raw_query(self, points):
+        return self._raw(points)
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        return jnp.asarray(self.obj_factory.bounding_box(padding, padding_ratio))
+
+
+# ---------------------------------------------------------------------------
+# Composition (min-union over posed children; reference sdf.py:332-433)
+# ---------------------------------------------------------------------------
+
+def compose_query(child_raw_queries: Tuple[Callable, ...],
+                  obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
+                  batch: int, points: jnp.ndarray):
+    """Pure min-union query over ``S`` posed child SDFs.
+
+    ``obj_to_link``/``link_to_obj``: ``[S*B, 4, 4]`` link-major flattened
+    transforms (child ``i`` owns rows ``[i*B, (i+1)*B)``, the reference's
+    ``ith_transform_slice`` contract at sdf.py:385-390).  ``points``: ``[F, d]``
+    in the shared object frame.  Returns ``(val [B, F], grad [B, F, d])``.
+
+    The per-child Python loop is a trace-time loop: XLA sees one fused program
+    with all children inlined; children with identical shapes could be vmapped
+    but are typically heterogeneous meshes.
+    """
+    S = len(child_raw_queries)
+    F = points.shape[0]
+    # transform points into every child/batch frame at once: [S*B, F, 3]
+    pts_all = tfm.transform_points(obj_to_link, points)
+    pts_all = pts_all.reshape(S, batch, F, 3)
+    R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
+
+    vals, grads = [], []
+    for i, raw in enumerate(child_raw_queries):
+        v, g = raw(pts_all[i].reshape(batch * F, 3))
+        g = g.reshape(batch, F, 3)
+        # rotate gradients back into the object frame (rigid: R == inv-transpose)
+        g = jnp.einsum("bij,bfj->bfi", R_back[i], g)
+        vals.append(v.reshape(batch, F))
+        grads.append(g)
+
+    v = jnp.stack(vals)          # [S, B, F]
+    g = jnp.stack(grads)         # [S, B, F, 3]
+    closest = jnp.argmin(v, axis=0)
+    vv = jnp.take_along_axis(v, closest[None], axis=0)[0]
+    gg = jnp.take_along_axis(g, closest[None, ..., None], axis=0)[0]
+    return vv, gg
+
+
+class ComposedSDF(ObjectFrameSDF):
+    def __init__(self, sdfs: Sequence[ObjectFrameSDF],
+                 obj_frame_to_each_frame: Optional[tfm.Transform3d] = None):
+        """
+        :param sdfs: S object-frame SDFs
+        :param obj_frame_to_each_frame: ``[B*]S x 4 x 4`` transforms from the
+            shared object frame to each SDF's frame, flattened link-major
+            (reference sdf.py:333-345).
+        """
+        self.sdfs = list(sdfs)
+        self.obj_frame_to_link_frame: Optional[tfm.Transform3d] = None
+        self.link_frame_to_obj_frame: Optional[jnp.ndarray] = None
+        self.tsf_batch = None
+        self._compose_jit = None
+        self.set_transforms(obj_frame_to_each_frame)
+
+    def set_transforms(self, tsf: Optional[tfm.Transform3d], batch_dim=None):
+        self.obj_frame_to_link_frame = tsf
+        prev_batch = self.tsf_batch
+        self.tsf_batch = tuple(batch_dim) if batch_dim is not None else None
+        if tsf is not None:
+            S = len(self.sdfs)
+            S_tsf = len(tsf)
+            if self.tsf_batch is None and S_tsf != S:
+                assert S_tsf % S == 0, (S_tsf, S)
+                self.tsf_batch = (S_tsf // S,)
+            self.link_frame_to_obj_frame = tfm.invert_tf(tsf.get_matrix())
+        if prev_batch != self.tsf_batch:
+            self._compose_jit = None  # batch size is a static arg: re-jit
+
+    def ith_transform_slice(self, i):
+        if self.tsf_batch is None:
+            return slice(i, i + 1)
+        total = math.prod(self.tsf_batch)
+        return slice(i * total, (i + 1) * total)
+
+    @property
+    def _batch(self) -> int:
+        return math.prod(self.tsf_batch) if self.tsf_batch is not None else 1
+
+    def raw_query(self, points):
+        vv, gg = compose_query(tuple(s.raw_query for s in self.sdfs),
+                               self.obj_frame_to_link_frame.get_matrix(),
+                               self.link_frame_to_obj_frame, self._batch, points)
+        return vv, gg
+
+    def __call__(self, points_in_object_frame):
+        pts = as_float_array(points_in_object_frame)
+        pts_batch = pts.shape[:-1]
+        flat = pts.reshape(-1, pts.shape[-1])
+        if self._compose_jit is None:
+            children = tuple(s.raw_query for s in self.sdfs)
+            B = self._batch
+
+            def fn(points, m, m_inv):
+                return compose_query(children, m, m_inv, B, points)
+
+            self._compose_jit = jax.jit(fn)
+        vv, gg = self._compose_jit(flat, self.obj_frame_to_link_frame.get_matrix(),
+                                   self.link_frame_to_obj_frame)
+        if self.tsf_batch is not None:
+            out_batch = self.tsf_batch + pts_batch
+        else:
+            out_batch = pts_batch
+            vv, gg = vv[0], gg[0]
+        return vv.reshape(out_batch), gg.reshape(out_batch + (pts.shape[-1],))
+
+    def surface_bounding_box(self, **kwargs):
+        """Batched AABB of the union: per-child AABB corners transformed into
+        the object frame, then min/max over children and corners
+        (reference sdf.py:347-368, using all 8 corners for correctness under
+        rotation)."""
+        m_inv = self.link_frame_to_obj_frame  # [S*B, 4, 4]
+        S = len(self.sdfs)
+        B = self._batch
+        bounds = []
+        for i, sdf in enumerate(self.sdfs):
+            corners = aabb_corners(sdf.surface_bounding_box(**kwargs))
+            sl = self.ith_transform_slice(i)
+            pts = tfm.transform_points(m_inv[sl], corners)  # [B, 8, 3]
+            bounds.append(pts)
+        bounds = jnp.stack(bounds)  # [S, B, 8, 3]
+        if self.tsf_batch is not None:
+            mins = bounds.min(axis=(0, 2))
+            maxs = bounds.max(axis=(0, 2))
+            out = jnp.stack((mins, maxs), axis=-1)  # [B, 3, 2]
+            return out.reshape(self.tsf_batch + (3, 2))
+        mins = bounds.min(axis=(0, 1, 2))
+        maxs = bounds.max(axis=(0, 1, 2))
+        return jnp.stack((mins, maxs), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Cached (voxelized) SDF (reference sdf.py:436-614)
+# ---------------------------------------------------------------------------
+
+class OutOfBoundsStrategy(enum.Enum):
+    LOOKUP_GT_SDF = 0
+    BOUNDING_BOX = 1  # under-approximates the SDF value
+
+
+DEFAULT_CACHE_PATH = "sdf_cache.npz"
+
+
+class CachedSDF(ObjectFrameSDF):
+    """SDF by nearest-voxel lookup of precomputed value + gradient grids
+    (reference sdf.py:441-614).
+
+    The grid build sweeps the ground-truth SDF over the snapped range and
+    persists to an ``.npz`` store keyed ``"{name} {resolution} {range}"``
+    (matching the reference's cache-key format, sdf.py:484).  Queries are a
+    raveled gather — bandwidth-bound and the hot path of robot-SDF workloads.
+    Out-of-bounds queries either recurse into the ground truth or use the
+    distance-to-AABB under-approximation (reference sdf.py:553-571).
+
+    Additions over the reference: optional ``interpolation="trilinear"``
+    (smooth value/gradient instead of nearest-voxel staircase).
+    """
+
+    def __init__(self, object_name, resolution, range_per_dim,
+                 gt_sdf: Optional[ObjectFrameSDF],
+                 out_of_bounds_strategy=OutOfBoundsStrategy.BOUNDING_BOX,
+                 device=None, clean_cache=False, debug_check_sdf=False,
+                 cache_path: str = DEFAULT_CACHE_PATH,
+                 interpolation: str = "nearest"):
+        self.device = device
+        self.gt_sdf = gt_sdf
+        self.resolution = float(resolution)
+        self.out_of_bounds_strategy = out_of_bounds_strategy
+        self.debug_check_sdf = debug_check_sdf
+        self.interpolation = interpolation
+
+        bb = np.asarray(range_per_dim, dtype=np.float64)
+        num_voxel = (bb[:, 1] - bb[:, 0]) // resolution
+        if num_voxel.min() < 10:
+            logger.warning("Resolution %s is too high for %s, only getting %s voxels",
+                           resolution, object_name, num_voxel)
+
+        range_per_dim = get_divisible_range_by_resolution(resolution, range_per_dim)
+        self.ranges = np.array(range_per_dim)
+        self.name = f"{object_name} {resolution} {tuple(range_per_dim)}"
+
+        store = get_store(cache_path)
+        cached = None if clean_cache else store.get(self.name)
+        self._stored_bb = None
+        if cached is not None:
+            val_np, grad_np = cached[0], cached[1]
+            if len(cached) > 2:  # tight surface bb persisted with the grids
+                self._stored_bb = np.asarray(cached[2])
+            logger.info("cached sdf for %s loaded from %s", self.name, cache_path)
+        else:
+            if gt_sdf is None:
+                raise RuntimeError(
+                    "Cached SDF did not find the cache and requires an initial "
+                    "queryable SDF")
+            coords, pts = get_coordinates_and_points_in_grid(
+                self.resolution, self.ranges)
+            sdf_val, sdf_grad = gt_sdf(pts)
+            shape = [len(c) for c in coords]
+            val_np = np.asarray(sdf_val).reshape(shape)
+            grad_np = np.asarray(sdf_grad).reshape(-1, pts.shape[-1])
+            self._stored_bb = np.asarray(gt_sdf.surface_bounding_box())
+            store.put(self.name, [val_np, grad_np, self._stored_bb])
+            logger.info("caching sdf for %s to %s", self.name, cache_path)
+
+        self.voxels = GridView(jnp.asarray(val_np, dtype=jnp.float32), range_per_dim,
+                               invalid_value=self._fallback_sdf_value_func)
+        self.voxels_grad = jnp.asarray(grad_np, dtype=jnp.float32)
+
+        gt_bb = self.surface_bounding_box()
+        self.bb = jnp.asarray(np.asarray(gt_bb), dtype=jnp.float32)
+        self._build_raw()
+
+    def _build_raw(self):
+        shape = self.voxels.shape
+        lo = jnp.asarray(self.voxels.lo, dtype=jnp.float32)
+        res = jnp.asarray(self.voxels.res, dtype=jnp.float32)
+        n = jnp.asarray(shape, dtype=jnp.int32)
+        strides = jnp.asarray(self.voxels._strides, dtype=jnp.int32)
+        val_flat = self.voxels.raw_data.reshape(-1)
+        grad_flat = self.voxels_grad
+        bb = self.bb
+        strategy = self.out_of_bounds_strategy
+        gt_raw = self.gt_sdf.raw_query if self.gt_sdf is not None else None
+        trilinear = self.interpolation == "trilinear"
+
+        def gather_nearest(pts):
+            keys = jnp.round((pts - lo) / res).astype(jnp.int32)
+            valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
+            flat_idx = jnp.sum(jnp.clip(keys, 0, n - 1) * strides, axis=-1)
+            return val_flat[flat_idx], grad_flat[flat_idx], valid
+
+        def gather_trilinear(pts):
+            f = (pts - lo) / res
+            # valid if the nearest-voxel key is in range (same contract as
+            # nearest mode); interpolation cell is clamped to the grid
+            keys = jnp.round(f).astype(jnp.int32)
+            valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
+            f = jnp.clip(f, 0.0, (n - 1).astype(pts.dtype))
+            i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+            w = f - i0.astype(pts.dtype)
+            val = jnp.zeros(pts.shape[:-1], dtype=pts.dtype)
+            grad = jnp.zeros_like(pts)
+            for corner in range(8):
+                offs = jnp.asarray([(corner >> d) & 1 for d in range(3)],
+                                   dtype=jnp.int32)
+                idx = i0 + offs
+                wt = jnp.prod(jnp.where(offs == 1, w, 1.0 - w), axis=-1)
+                flat_idx = jnp.sum(idx * strides, axis=-1)
+                val = val + wt * val_flat[flat_idx]
+                grad = grad + wt[..., None] * grad_flat[flat_idx]
+            return val, grad, valid
+
+        gather = gather_trilinear if trilinear else gather_nearest
+
+        def raw(pts):
+            val_in, grad_in, valid = gather(pts)
+            if strategy == OutOfBoundsStrategy.BOUNDING_BOX:
+                # distance to the surface AABB: always an under-approximation
+                # (reference sdf.py:555-571)
+                dmin = jnp.maximum(bb[:, 0] - pts, 0.0)
+                dmax = jnp.maximum(pts - bb[:, 1], 0.0)
+                dtotal = dmax - dmin  # dmin component enters negatively
+                dist = jnp.linalg.norm(dtotal, axis=-1)
+                grad_oob = dtotal / jnp.maximum(dist, 1e-12)[..., None]
+                val_oob, g_oob = dist, grad_oob
+            else:
+                if gt_raw is None:
+                    raise RuntimeError("LOOKUP_GT_SDF requires a ground-truth SDF")
+                val_oob, g_oob = gt_raw(pts)
+            val = jnp.where(valid, val_in, val_oob)
+            grad = jnp.where(valid[..., None], grad_in, g_oob)
+            return val, grad
+
+        self._raw = _straight_through_sdf(raw)
+        self._jit_cache = None
+
+    def raw_query(self, points):
+        return self._raw(points)
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        if self.gt_sdf is not None:
+            return self.gt_sdf.surface_bounding_box(padding=padding,
+                                                    padding_ratio=padding_ratio)
+        # warm-cache restart without a ground truth: use the persisted tight bb
+        if self._stored_bb is None:
+            raise RuntimeError(
+                "CachedSDF has neither a ground-truth SDF nor a persisted "
+                "bounding box (cache written by an older version)")
+        bb = self._stored_bb.copy()
+        extents = bb[:, 1] - bb[:, 0]
+        bb[:, 0] -= padding + padding_ratio * extents
+        bb[:, 1] += padding + padding_ratio * extents
+        return jnp.asarray(bb)
+
+    def _fallback_sdf_value_func(self, *args, **kwargs):
+        sdf_val, _ = self.gt_sdf(*args, **kwargs)
+        return sdf_val
+
+    def __call__(self, points_in_object_frame):
+        val, grad = super().__call__(points_in_object_frame)
+        if self.debug_check_sdf:
+            self._debug_check(points_in_object_frame, val, grad)
+        return val, grad
+
+    def _debug_check(self, pts, val, grad):
+        """Online self-check against the ground truth (reference
+        sdf.py:573-590): in-bounds error < resolution; OOB bounding-box values
+        under-approximate with gradient cosine similarity > 0.7."""
+        pts = as_float_array(pts)
+        val_gt, grad_gt = self.gt_sdf(pts)
+        within = np.asarray(self.voxels.get_valid_values(pts.reshape(-1, 3))).reshape(
+            np.asarray(val).shape)
+        diff = np.abs(np.asarray(val) - np.asarray(val_gt))
+        assert np.all(diff[within] < self.resolution), diff[within].max()
+        if self.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX:
+            oob = ~within
+            if oob.any():
+                under = np.asarray(val_gt)[oob] - np.asarray(val)[oob]
+                # always under-approximates (equality when the mesh is its own
+                # AABB, e.g. a box)
+                assert np.all(under > -1e-5), under.min()
+                g1 = np.asarray(grad)[oob]
+                g2 = np.asarray(grad_gt)[oob]
+                cos = np.sum(g1 * g2, axis=-1) / np.maximum(
+                    np.linalg.norm(g1, axis=-1) * np.linalg.norm(g2, axis=-1), 1e-12)
+                assert np.all(cos > 0.7)
+                assert cos.mean() > 0.95
+
+    def outside_surface(self, points_in_object_frame, surface_level=0):
+        """Fast check assuming out-of-bounds points are outside
+        (reference sdf.py:593-602)."""
+        pts = as_float_array(points_in_object_frame)
+        flat = pts.reshape(-1, pts.shape[-1])
+        keys = self.voxels.ensure_index_key(flat)
+        nshape = jnp.asarray(self.voxels.shape, dtype=jnp.int32)
+        valid = jnp.all((keys >= 0) & (keys < nshape), axis=-1)
+        flat_idx = self.voxels.ravel_multi_index(jnp.clip(keys, 0, nshape - 1))
+        outside = jnp.where(valid,
+                            self.voxels.raw_data.reshape(-1)[flat_idx] > surface_level,
+                            True)
+        return outside.reshape(pts.shape[:-1])
+
+    def get_voxel_view(self, voxels: Optional[VoxelGrid] = None, dtype=jnp.float32,
+                       device=None) -> GridView:
+        if voxels is None:
+            return self.voxels
+        pts = voxels.get_voxel_center_points()
+        sdf_val, _ = self.gt_sdf(pts)
+        shape = [len(c) for c in voxels.coords]
+        return GridView(sdf_val.reshape(shape), voxels.range_per_dim,
+                        invalid_value=self._fallback_sdf_value_func)
+
+
+# ---------------------------------------------------------------------------
+# Surface point sampling with disk cache (reference sdf.py:617-670)
+# ---------------------------------------------------------------------------
+
+def sample_mesh_points(obj_factory: Optional[ObjectFactory] = None, num_points=100,
+                       seed=0, name="", clean_cache=False, dtype=jnp.float32,
+                       min_init_sample_points=200,
+                       dbpath="model_points_cache.npz", device=None, cache=None):
+    """Uniform surface samples + their normals, cached on disk keyed
+    ``name/seed/num_points``.  Deterministic via an explicit numpy seed
+    (replaces the reference's global RNG save/restore, sdf.py:644-646)."""
+    store = get_store(dbpath)
+    key = f"{name}/{seed}/{num_points}"
+    if not clean_cache:
+        hit = store.get(key)
+        if hit is not None:
+            points, normals = hit
+            return (jnp.asarray(points, dtype=dtype),
+                    jnp.asarray(normals, dtype=dtype), store)
+
+    if obj_factory is None:
+        raise RuntimeError(
+            f"Expect model points to be cached for {name} {seed} {num_points} in {dbpath}")
+
+    rng = np.random.default_rng(seed)
+    # sampling is not dispersed; oversample then randomly subselect
+    # (reference sdf.py:648-658)
+    sample_num_points = max(min_init_sample_points, 2 * num_points)
+    pts = obj_factory._mesh.sample_points_uniformly(sample_num_points, rng=rng)
+    pts = rng.permutation(pts)[:num_points]
+
+    res = obj_factory.object_frame_closest_point(pts, compute_normal=True)
+    normals = np.asarray(res.normal)
+
+    store.put(key, [np.asarray(pts, dtype=np.float32),
+                    normals.astype(np.float32)])
+    return (jnp.asarray(pts, dtype=dtype), jnp.asarray(normals, dtype=dtype), store)

@@ -1,0 +1,277 @@
+"""Voxel grids with value-space indexing and automatic expansion.
+
+TPU-native re-implementation of the reference's ``voxel.py`` plus the used
+subset of its ``multidim_indexing.TorchMultidimView`` dependency (reference
+voxel.py:10-171, sdf.py:535-550).  Grids are host-managed objects (shape
+changes like :class:`ExpandingVoxelGrid` regrow on host, since XLA shapes are
+static) wrapping device arrays; the hot gather path used by ``CachedSDF``
+lives in jit-friendly free functions.
+"""
+
+from __future__ import annotations
+
+import abc
+import math
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_volumetric_tpu.utils.batching import as_float_array
+
+
+def get_divisible_range_by_resolution(resolution: float, range_per_dim):
+    """Snap each (lo, hi) so the span is an integer multiple of resolution
+    (reference voxel.py:10-17)."""
+    out = []
+    for low, high in np.asarray(range_per_dim):
+        span = round(float(high - low) / resolution)
+        out.append((float(low), float(low) + span * resolution))
+    return out
+
+
+def get_coordinates_and_points_in_grid(resolution: float, range_per_dim,
+                                       dtype=jnp.float32, device=None,
+                                       get_points: bool = True):
+    """Per-dim coordinates (inclusive upper bound, reference voxel.py:20-25)
+    and the cartesian-product point list ``[N, d]``."""
+    del device
+    coords = [jnp.arange(low, high + 0.9 * resolution, resolution, dtype=dtype)
+              for low, high in np.asarray(range_per_dim)]
+    pts = None
+    if get_points:
+        mesh = jnp.meshgrid(*coords, indexing="ij")
+        pts = jnp.stack(mesh, axis=-1).reshape(-1, len(coords))
+    return coords, pts
+
+
+# ---------------------------------------------------------------------------
+# Value-space grid view (multidim_indexing replacement)
+# ---------------------------------------------------------------------------
+
+class GridView:
+    """A dense array viewed through value-space coordinates.
+
+    Maps d-dimensional points to nearest-voxel indices via the affine
+    ``idx = round((x - lo) / res)`` per dimension; supports raveled
+    gather/scatter and an out-of-range fallback that is either a scalar or a
+    callable evaluated on the out-of-range points (the reference uses the
+    ground-truth SDF itself as the callable, sdf.py:521-523).
+    """
+
+    def __init__(self, data: jnp.ndarray, range_per_dim,
+                 invalid_value: Union[float, Callable] = 0.0):
+        self.raw_data = jnp.asarray(data)
+        rng = np.asarray(range_per_dim, dtype=np.float64)
+        self.range_per_dim = rng
+        self.shape = tuple(self.raw_data.shape)
+        d = len(self.shape)
+        self.lo = rng[:, 0]
+        self.res = np.array([
+            (rng[i, 1] - rng[i, 0]) / max(self.shape[i] - 1, 1) for i in range(d)])
+        self.invalid_value = invalid_value
+        self._strides = np.array(
+            [int(np.prod(self.shape[i + 1:], dtype=np.int64)) for i in range(d)])
+
+    # -- key conversions ------------------------------------------------------
+    def ensure_index_key(self, pts) -> jnp.ndarray:
+        pts = as_float_array(pts)
+        lo = jnp.asarray(self.lo, dtype=pts.dtype)
+        res = jnp.asarray(self.res, dtype=pts.dtype)
+        return jnp.round((pts - lo) / res).astype(jnp.int32)
+
+    def ensure_value_key(self, indices) -> jnp.ndarray:
+        idx = jnp.asarray(indices)
+        lo = jnp.asarray(self.lo, dtype=jnp.float32)
+        res = jnp.asarray(self.res, dtype=jnp.float32)
+        return lo + idx.astype(jnp.float32) * res
+
+    def ravel_multi_index(self, keys, shape=None) -> jnp.ndarray:
+        strides = jnp.asarray(self._strides, dtype=jnp.int32)
+        return jnp.sum(keys * strides, axis=-1)
+
+    def get_valid_values(self, pts) -> jnp.ndarray:
+        """In-range mask by nearest-index membership."""
+        keys = self.ensure_index_key(pts)
+        n = jnp.asarray(self.shape, dtype=jnp.int32)
+        return jnp.all((keys >= 0) & (keys < n), axis=-1)
+
+    # -- access ---------------------------------------------------------------
+    def __getitem__(self, pts):
+        pts = as_float_array(pts)
+        keys = self.ensure_index_key(pts)
+        valid = jnp.all((keys >= 0) & (keys < jnp.asarray(self.shape, dtype=jnp.int32)),
+                        axis=-1)
+        flat = self.ravel_multi_index(jnp.clip(
+            keys, 0, jnp.asarray(self.shape, dtype=jnp.int32) - 1))
+        vals = self.raw_data.reshape(-1)[flat]
+        if callable(self.invalid_value):
+            fallback = self.invalid_value(pts)
+            fallback = jnp.asarray(fallback).reshape(vals.shape).astype(vals.dtype)
+        else:
+            fallback = jnp.asarray(self.invalid_value, dtype=vals.dtype)
+        return jnp.where(valid, vals, fallback)
+
+    def __setitem__(self, pts, value):
+        pts = as_float_array(pts)
+        keys = self.ensure_index_key(pts)
+        value = jnp.broadcast_to(jnp.asarray(value, dtype=self.raw_data.dtype),
+                                 keys.shape[:-1])
+        idx = tuple(keys[..., i] for i in range(keys.shape[-1]))
+        # out-of-range scatters are dropped (mode="drop")
+        self.raw_data = self.raw_data.at[idx].set(value, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Voxel containers (reference voxel.py:28-131)
+# ---------------------------------------------------------------------------
+
+class Voxels(abc.ABC):
+    @abc.abstractmethod
+    def get_known_pos_and_values(self):
+        """Return the position (N x d) and values (N) of known voxels."""
+
+    @abc.abstractmethod
+    def __getitem__(self, pts):
+        """Return the values (N) at the positions (N x d)."""
+
+    @abc.abstractmethod
+    def __setitem__(self, pts, value):
+        """Set the values (N) at the positions (N x d)."""
+
+
+class VoxelGrid(Voxels):
+    """Dense grid with an ``invalid_val = 0`` "unknown" sentinel
+    (reference voxel.py:42-91)."""
+
+    def __init__(self, resolution: float, range_per_dim, dtype=jnp.float32,
+                 device=None):
+        self.resolution = float(resolution)
+        self.invalid_val = 0
+        self.dtype = dtype
+        self.device = device
+        self._create_voxels(self.resolution, range_per_dim)
+
+    def _create_voxels(self, resolution, range_per_dim):
+        self.range_per_dim = get_divisible_range_by_resolution(resolution, range_per_dim)
+        self.coords, self.pts = get_coordinates_and_points_in_grid(
+            resolution, self.range_per_dim, dtype=jnp.float32)
+        shape = [len(c) for c in self.coords]
+        self._data = jnp.zeros(shape, dtype=self.dtype)
+        self.voxels = GridView(self._data, self.range_per_dim,
+                               invalid_value=self.invalid_val)
+        self.range_per_dim = np.array(self.range_per_dim)
+
+    def get_known_pos_and_values(self):
+        data = np.asarray(self.voxels.raw_data)
+        known = data != self.invalid_val
+        indices = np.argwhere(known)
+        pos = self.voxels.ensure_value_key(jnp.asarray(indices))
+        val = jnp.asarray(data[known])
+        return pos, val
+
+    def resize_to_fit(self):
+        known_pos, known_val = self.get_known_pos_and_values()
+        if known_pos.size == 0:
+            return
+        mins = np.asarray(known_pos.min(axis=0))
+        maxs = np.asarray(known_pos.max(axis=0))
+        rng = [(mins[i] - self.resolution, maxs[i] + self.resolution)
+               for i in range(len(mins))]
+        self._create_voxels(self.resolution, rng)
+        self[known_pos] = known_val
+
+    def get_voxel_values(self):
+        return self.voxels.raw_data
+
+    def get_voxel_center_points(self):
+        return self.pts
+
+    def __getitem__(self, pts):
+        return self.voxels[pts]
+
+    def __setitem__(self, pts, value):
+        self.voxels[pts] = value
+        self._data = self.voxels.raw_data
+
+
+class ExpandingVoxelGrid(VoxelGrid):
+    """Grows its range in whole-resolution increments to cover writes
+    (reference voxel.py:94-115).  Regrowth is host-side; a regrow changes the
+    array shape and therefore re-jits downstream consumers."""
+
+    def __setitem__(self, pts, value):
+        pts = as_float_array(pts)
+        if pts.size > 0:
+            mins = np.asarray(pts.reshape(-1, pts.shape[-1]).min(axis=0))
+            maxs = np.asarray(pts.reshape(-1, pts.shape[-1]).max(axis=0))
+            rng = np.array(self.range_per_dim, dtype=np.float64)
+            for dim in range(len(mins)):
+                over = maxs[dim] - rng[dim][1]
+                under = rng[dim][0] - mins[dim]
+                if over > 0:
+                    rng[dim][1] += math.ceil(over / self.resolution) * self.resolution
+                if under > 0:
+                    rng[dim][0] -= math.ceil(under / self.resolution) * self.resolution
+            if not np.allclose(rng, np.asarray(self.range_per_dim, dtype=np.float64)):
+                known_pos, known_values = self.get_known_pos_and_values()
+                self._create_voxels(self.resolution, rng)
+                super().__setitem__(known_pos, known_values)
+        return super().__setitem__(pts, value)
+
+
+class VoxelSet(Voxels):
+    """Sparse append-only (positions, values) store (reference voxel.py:118-131)."""
+
+    def __init__(self, positions, values):
+        self.positions = as_float_array(positions)
+        self.values = jnp.asarray(values)
+
+    def __getitem__(self, pts):
+        raise RuntimeError("Cannot get arbitrary points on a voxel set")
+
+    def __setitem__(self, pts, value):
+        pts = as_float_array(pts).reshape(-1, self.positions.shape[-1])
+        self.positions = jnp.concatenate((self.positions, pts), axis=0)
+        self.values = jnp.concatenate((self.values, jnp.atleast_1d(jnp.asarray(value))))
+
+    def get_known_pos_and_values(self):
+        return self.positions, self.values
+
+
+def bounds_contain_another_bounds(outer_bounds, inner_bounds) -> bool:
+    outer_bounds = np.asarray(outer_bounds)
+    inner_bounds = np.asarray(inner_bounds)
+    return bool(np.all(outer_bounds[:, 0] <= inner_bounds[:, 0])
+                and np.all(outer_bounds[:, 1] >= inner_bounds[:, 1]))
+
+
+def voxel_down_sample(points, resolution: float, range_per_dim=None,
+                      ignore_flat_dim: bool = False):
+    """Down-sample a point cloud to occupied voxel centers — fully parallel
+    scatter instead of open3d's per-point loop (reference voxel.py:139-171).
+    Output size is data-dependent, so this is a host-facing (non-jit) op."""
+    points = as_float_array(points)
+    if points.shape[0] == 0:
+        return points
+    pts_np = np.asarray(points)
+    data_bounds = np.stack((pts_np.min(axis=0) - resolution * 2,
+                            pts_np.max(axis=0) + resolution * 2)).T
+    if range_per_dim is None or bounds_contain_another_bounds(range_per_dim, data_bounds):
+        range_per_dim = data_bounds
+
+    range_per_dim = np.asarray(range_per_dim, dtype=np.float64)
+    flat_z = ignore_flat_dim and range_per_dim[-1][0] == range_per_dim[-1][1]
+    flat_z_val = range_per_dim[-1][0]
+    if flat_z:
+        range_per_dim = range_per_dim[:-1]
+        points = points[..., :-1]
+
+    voxel = VoxelGrid(resolution, range_per_dim, dtype=jnp.bool_)
+    voxel[points] = True
+    pts, _ = voxel.get_known_pos_and_values()
+
+    if flat_z:
+        pts = jnp.concatenate(
+            (pts, jnp.full((pts.shape[0], 1), flat_z_val, dtype=pts.dtype)), axis=-1)
+    return pts
