@@ -22,5 +22,18 @@ from pytorch_volumetric_tpu.transforms import (
     Transform3d, Translate, random_rotation, matrix_to_rotation_6d,
     euler_angles_to_matrix,
 )
+from pytorch_volumetric_tpu.chamfer import (
+    batch_chamfer_dist, PlausibleDiversity, PlausibleDiversityReturn,
+    pairwise_distance, pairwise_distance_chamfer,
+)
+from pytorch_volumetric_tpu.model_to_sdf import (
+    RobotSDF, cache_link_sdf_factory, aabb_to_ordered_end_points,
+)
+from pytorch_volumetric_tpu.kinematics import (
+    Chain, SerialChain, build_chain_from_urdf, build_serial_chain_from_urdf,
+)
+from pytorch_volumetric_tpu.visualization import draw_sdf_slice, get_transformed_meshes
 from pytorch_volumetric_tpu import mesh
 from pytorch_volumetric_tpu import transforms
+from pytorch_volumetric_tpu import kinematics
+from pytorch_volumetric_tpu.utils import robots

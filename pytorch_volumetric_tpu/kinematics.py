@@ -1,0 +1,328 @@
+"""URDF parsing and batched differentiable forward kinematics.
+
+TPU-native replacement for the subset of ``pytorch_kinematics`` the reference
+uses (``build_serial_chain_from_urdf``, ``Chain.forward_kinematics(q,
+end_only=False)``, frames/links/visuals — reference model_to_sdf.py:5,99 and
+tests).  The URDF is parsed on host into a static frame tree; FK is a pure
+jnp function — a trace-time compose over the topologically-ordered joints,
+``vmap``-free batching via leading dims on ``q`` — so it jits into one fused
+XLA program and is differentiable w.r.t. joint values.
+"""
+
+from __future__ import annotations
+
+import logging
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_volumetric_tpu import transforms as tfm
+
+logger = logging.getLogger(__name__)
+
+ACTUATED_TYPES = ("revolute", "continuous", "prismatic")
+
+
+def _origin_matrix(elem) -> np.ndarray:
+    xyz = np.zeros(3)
+    rpy = np.zeros(3)
+    if elem is not None:
+        if elem.get("xyz"):
+            xyz = np.fromstring(elem.get("xyz"), sep=" ")
+        if elem.get("rpy"):
+            rpy = np.fromstring(elem.get("rpy"), sep=" ")
+    m = np.eye(4)
+    m[:3, :3] = np.asarray(tfm.rpy_to_matrix(jnp.asarray(rpy)))
+    m[:3, 3] = xyz
+    return m
+
+
+@dataclass
+class Visual:
+    """A link's visual geometry.  ``geom_param`` mirrors pytorch_kinematics:
+    for meshes it is ``(filename, scale)``."""
+    geom_type: Optional[str]
+    geom_param: tuple
+    offset: np.ndarray  # [4, 4] visual origin in the link frame
+
+    def offset_transform(self) -> tfm.Transform3d:
+        return tfm.Transform3d(matrix=jnp.asarray(self.offset, dtype=jnp.float32))
+
+
+@dataclass
+class Link:
+    name: str
+    visuals: List[Visual] = field(default_factory=list)
+
+
+@dataclass
+class Joint:
+    name: str
+    joint_type: str          # revolute | continuous | prismatic | fixed
+    origin: np.ndarray       # [4, 4] static transform parent->joint frame
+    axis: np.ndarray         # [3]
+    parent_link: str
+    child_link: str
+    limits: Tuple[float, float] = (-np.inf, np.inf)
+
+
+@dataclass
+class Frame:
+    """A node of the kinematic tree: the joint that attaches it to its parent
+    plus the link living at this frame."""
+    name: str
+    link: Link
+    joint: Optional[Joint]   # None at the root
+    children: List["Frame"] = field(default_factory=list)
+
+
+class Chain:
+    """Kinematic tree with batched FK.
+
+    ``forward_kinematics(q [.., M], end_only=False)`` returns a dict
+    ``frame/link name -> Transform3d`` with matrices ``[.., 4, 4]`` (matching
+    the reference's use at model_to_sdf.py:99-102).
+    """
+
+    def __init__(self, root: Frame):
+        self.root = root
+        self.dtype = jnp.float32
+        self.device = None
+        # topological order (DFS, matching URDF document order of children)
+        self._ordered: List[Frame] = []
+
+        def visit(f: Frame):
+            self._ordered.append(f)
+            for c in f.children:
+                visit(c)
+
+        visit(root)
+        self._frames_by_name = {f.name: f for f in self._ordered}
+        self._joint_names = [f.joint.name for f in self._ordered
+                             if f.joint is not None
+                             and f.joint.joint_type in ACTUATED_TYPES]
+        # static per-frame data for FK
+        self._origins = {f.name: jnp.asarray(
+            f.joint.origin if f.joint is not None else np.eye(4), dtype=jnp.float32)
+            for f in self._ordered}
+        self._axes = {f.name: jnp.asarray(
+            f.joint.axis if f.joint is not None else np.array([0.0, 0, 1]),
+            dtype=jnp.float32) for f in self._ordered}
+
+    # -- introspection (pytorch_kinematics API surface) ----------------------
+    def get_joint_parameter_names(self, exclude_fixed=True) -> List[str]:
+        return list(self._joint_names)
+
+    def get_frame_names(self, exclude_fixed=False) -> List[str]:
+        if exclude_fixed:
+            return [f.name for f in self._ordered
+                    if f.joint is None or f.joint.joint_type in ACTUATED_TYPES]
+        return [f.name for f in self._ordered]
+
+    def find_frame(self, name: str) -> Optional[Frame]:
+        return self._frames_by_name.get(name)
+
+    def find_link(self, name: str) -> Optional[Link]:
+        f = self._frames_by_name.get(name)
+        return f.link if f is not None else None
+
+    @property
+    def n_joints(self) -> int:
+        return len(self._joint_names)
+
+    def to(self, dtype=None, device=None) -> "Chain":
+        if dtype is not None:
+            self.dtype = dtype
+        return self
+
+    # -- FK -------------------------------------------------------------------
+    def _joint_motion(self, frame: Frame, q: jnp.ndarray) -> jnp.ndarray:
+        """[.., 4, 4] motion of one joint given its scalar value ``q [..]``."""
+        axis = self._axes[frame.name]
+        jt = frame.joint.joint_type
+        if jt in ("revolute", "continuous"):
+            R = tfm.axis_angle_to_matrix(axis, q)
+            return tfm.make_tf(rot=R, dtype=R.dtype)
+        if jt == "prismatic":
+            t = axis * q[..., None]
+            return tfm.make_tf(pos=t)
+        # fixed
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return jnp.broadcast_to(eye, q.shape + (4, 4)) if q.ndim else eye
+
+    def fk_matrices(self, q: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Pure traceable FK: ``q [.., M]`` -> dict of world matrices
+        ``[.., 4, 4]`` for every frame.  Trace-time loop over the (static)
+        tree; XLA fuses the whole chain."""
+        q = jnp.asarray(q, dtype=jnp.float32)
+        if q.shape[-1] != len(self._joint_names):
+            raise ValueError(
+                f"expected {len(self._joint_names)} joint values "
+                f"({self._joint_names}), got shape {q.shape}")
+        batch = q.shape[:-1]
+        jidx = {n: i for i, n in enumerate(self._joint_names)}
+        world: Dict[str, jnp.ndarray] = {}
+
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=q.dtype), batch + (4, 4))
+
+        def visit(f: Frame, parent_m):
+            m = parent_m
+            if f.joint is not None:
+                origin = self._origins[f.name]
+                m = m @ origin
+                if f.joint.joint_type in ACTUATED_TYPES:
+                    qi = q[..., jidx[f.joint.name]]
+                    m = m @ self._joint_motion(f, qi)
+            world[f.name] = m
+            for c in f.children:
+                visit(c, m)
+
+        visit(self.root, eye)
+        return world
+
+    def forward_kinematics(self, th, end_only: bool = False):
+        """Batched FK returning ``Transform3d`` per frame (reference usage at
+        model_to_sdf.py:99: ``chain.forward_kinematics(q, end_only=False)``)."""
+        th = jnp.asarray(th, dtype=jnp.float32)
+        if th.ndim == 0:
+            th = th.reshape(1)
+        mats = self.fk_matrices(th)
+        out = {name: tfm.Transform3d(matrix=m) for name, m in mats.items()}
+        if end_only:
+            return out[self._ordered[-1].name]
+        return out
+
+
+class SerialChain(Chain):
+    """A root→end path of the tree (``build_serial_chain_from_urdf``)."""
+
+    def __init__(self, root: Frame, end_frame_name: str):
+        # prune branches not on the path to the end frame
+        path: List[Frame] = []
+
+        def find(f: Frame, trail):
+            trail.append(f)
+            if f.name == end_frame_name:
+                path.extend(trail)
+                return True
+            for c in f.children:
+                if find(c, trail):
+                    return True
+            trail.pop()
+            return False
+
+        if not find(root, []):
+            raise ValueError(f"end frame {end_frame_name!r} not found")
+        # rebuild a pruned single-branch tree
+        pruned = None
+        prev = None
+        for f in path:
+            node = Frame(f.name, f.link, f.joint, [])
+            if prev is not None:
+                prev.children.append(node)
+            else:
+                pruned = node
+            prev = node
+        super().__init__(pruned)
+        self.end_frame_name = end_frame_name
+
+    def forward_kinematics(self, th, end_only: bool = False):
+        out = super().forward_kinematics(th, end_only=False)
+        if end_only:
+            return out[self.end_frame_name]
+        return out
+
+
+# ---------------------------------------------------------------------------
+# URDF parsing
+# ---------------------------------------------------------------------------
+
+def _parse_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
+    if geom_elem is None:
+        return None, ()
+    mesh = geom_elem.find("mesh")
+    if mesh is not None:
+        scale = mesh.get("scale")
+        if scale is not None:
+            s = np.fromstring(scale, sep=" ")
+            scale = float(s[0]) if s.size else 1.0
+        return "mesh", (mesh.get("filename"), scale)
+    box = geom_elem.find("box")
+    if box is not None:
+        return "box", (np.fromstring(box.get("size"), sep=" "),)
+    sphere = geom_elem.find("sphere")
+    if sphere is not None:
+        return "sphere", (float(sphere.get("radius")),)
+    cyl = geom_elem.find("cylinder")
+    if cyl is not None:
+        return "cylinder", (float(cyl.get("radius")), float(cyl.get("length")))
+    return None, ()
+
+
+def build_chain_from_urdf(data: str) -> Chain:
+    """Parse a URDF string into a kinematic tree
+    (``pytorch_kinematics.build_chain_from_urdf`` equivalent)."""
+    robot = ET.fromstring(data)
+    links: Dict[str, Link] = {}
+    for link_elem in robot.findall("link"):
+        link = Link(link_elem.get("name"))
+        for vis_elem in link_elem.findall("visual"):
+            gt, gp = _parse_geometry(vis_elem.find("geometry"))
+            offset = _origin_matrix(vis_elem.find("origin"))
+            link.visuals.append(Visual(gt, gp, offset))
+        links[link.name] = link
+
+    joints: List[Joint] = []
+    children = set()
+    for j in robot.findall("joint"):
+        jtype = j.get("type", "fixed")
+        if jtype not in ACTUATED_TYPES + ("fixed",):
+            logger.warning("Unsupported joint type %s for %s; treating as fixed",
+                           jtype, j.get("name"))
+            jtype = "fixed"
+        axis_elem = j.find("axis")
+        axis = (np.fromstring(axis_elem.get("xyz"), sep=" ")
+                if axis_elem is not None else np.array([1.0, 0, 0]))
+        limit_elem = j.find("limit")
+        limits = (-np.inf, np.inf)
+        if limit_elem is not None and limit_elem.get("lower") is not None:
+            limits = (float(limit_elem.get("lower")), float(limit_elem.get("upper")))
+        joints.append(Joint(
+            name=j.get("name"), joint_type=jtype,
+            origin=_origin_matrix(j.find("origin")), axis=axis,
+            parent_link=j.find("parent").get("link"),
+            child_link=j.find("child").get("link"), limits=limits))
+        children.add(j.find("child").get("link"))
+
+    roots = [name for name in links if name not in children]
+    if len(roots) != 1:
+        raise ValueError(f"URDF must have exactly one root link, got {roots}")
+
+    by_parent: Dict[str, List[Joint]] = {}
+    for j in joints:
+        by_parent.setdefault(j.parent_link, []).append(j)
+
+    def build(link_name: str, joint: Optional[Joint]) -> Frame:
+        f = Frame(link_name, links[link_name], joint, [])
+        for j in by_parent.get(link_name, []):
+            f.children.append(build(j.child_link, j))
+        return f
+
+    return Chain(build(roots[0], None))
+
+
+def build_serial_chain_from_urdf(data: str, end_link_name: str,
+                                 root_link_name: Optional[str] = None) -> SerialChain:
+    """``pytorch_kinematics.build_serial_chain_from_urdf`` equivalent
+    (reference tests/test_model_to_sdf.py:49)."""
+    chain = build_chain_from_urdf(data)
+    root = chain.root
+    if root_link_name is not None:
+        f = chain.find_frame(root_link_name)
+        if f is None:
+            raise ValueError(f"root link {root_link_name!r} not found")
+        root = f
+    return SerialChain(root, end_link_name)

@@ -1,0 +1,99 @@
+"""Procedural robot-description generators (test & benchmark assets).
+
+The reference tests use the KUKA iiwa URDF from pybullet_data and an
+offset-wrench URDF (tests/offset_wrench.urdf structure: 3 prismatic + 3
+revolute virtual joints giving a free 6-DOF pose to a single mesh link).
+Neither external package data nor reference assets are available/copied, so we
+generate equivalent structures procedurally: closed link meshes + URDF text.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from pytorch_volumetric_tpu import mesh as mesh_mod
+
+
+def make_serial_arm(directory: str, num_joints: int = 7,
+                    link_length: float = 0.18, link_radius: float = 0.045,
+                    segments: int = 14, rings: int = 5) -> Tuple[str, str]:
+    """Write an ``num_joints``-DOF serial arm (KUKA-iiwa-like scale: base +
+    ``num_joints`` capsule links) into ``directory``.
+
+    Returns ``(urdf_path, end_link_name)``.  Link meshes are closed capsules;
+    joint axes alternate z/y like a typical 7-DOF arm; each visual has a small
+    origin offset so visual-offset handling is exercised.
+    """
+    os.makedirs(directory, exist_ok=True)
+    base = mesh_mod.cylinder_mesh(radius=2.2 * link_radius, height=0.1, segments=20)
+    mesh_mod.save_obj(base, os.path.join(directory, "link0.obj"))
+    cap = mesh_mod.capsule_mesh(radius=link_radius, height=link_length,
+                                segments=segments, rings=rings)
+    for i in range(1, num_joints + 1):
+        mesh_mod.save_obj(cap, os.path.join(directory, f"link{i}.obj"))
+
+    lines: List[str] = ['<robot name="procedural_arm">']
+    lines.append('  <link name="link0">')
+    lines.append('    <visual><origin xyz="0 0 0.05" rpy="0 0 0"/>'
+                 '<geometry><mesh filename="link0.obj"/></geometry></visual>')
+    lines.append('  </link>')
+    for i in range(1, num_joints + 1):
+        lines.append(f'  <link name="link{i}">')
+        # visual offset: capsule is centered; shift so it spans the link
+        lines.append(f'    <visual><origin xyz="0 0 {link_length / 2:.6g}" rpy="0 0 0"/>'
+                     f'<geometry><mesh filename="link{i}.obj"/></geometry></visual>')
+        lines.append('  </link>')
+    z_step = 0.1  # base height
+    for i in range(1, num_joints + 1):
+        axis = "0 0 1" if i % 2 == 1 else "0 1 0"
+        origin_z = z_step if i == 1 else link_length
+        lines.append(f'  <joint name="joint{i}" type="revolute">')
+        lines.append(f'    <origin xyz="0 0 {origin_z:.6g}" rpy="0 0 0"/>')
+        lines.append(f'    <parent link="link{i - 1}"/>')
+        lines.append(f'    <child link="link{i}"/>')
+        lines.append(f'    <axis xyz="{axis}"/>')
+        lines.append('    <limit effort="100" lower="-2.9" upper="2.9" velocity="10"/>')
+        lines.append('  </joint>')
+    lines.append('</robot>')
+
+    urdf_path = os.path.join(directory, "arm.urdf")
+    with open(urdf_path, "w") as f:
+        f.write("\n".join(lines))
+    return urdf_path, f"link{num_joints}"
+
+
+def make_free_object_urdf(directory: str, mesh_filename: str,
+                          object_name: str = "free_object") -> Tuple[str, str]:
+    """Write a URDF giving a single mesh link a free 6-DOF pose via 3 prismatic
+    + 3 revolute virtual joints (the reference's offset_wrench.urdf pattern,
+    tests/offset_wrench.urdf:29-71)."""
+    os.makedirs(directory, exist_ok=True)
+    lines = [f'<robot name="{object_name}">']
+    virtual = ["link_x_trans", "link_y_trans", "link_z_trans",
+               "link_x_rot", "link_y_rot", "link_z_rot"]
+    for name in virtual:
+        lines.append(f'  <link name="{name}"/>')
+    lines.append(f'  <link name="{object_name}">')
+    lines.append(f'    <visual><geometry><mesh filename="{mesh_filename}"/>'
+                 '</geometry></visual>')
+    lines.append('  </link>')
+    chain = virtual + [object_name]
+    specs = [("x_trans", "prismatic", "1 0 0"), ("y_trans", "prismatic", "0 1 0"),
+             ("z_trans", "prismatic", "0 0 1"), ("x_rot", "revolute", "1 0 0"),
+             ("y_rot", "revolute", "0 1 0"), ("z_rot", "revolute", "0 0 1")]
+    for i, (jname, jtype, axis) in enumerate(specs):
+        lines.append(f'  <joint name="{jname}" type="{jtype}">')
+        lines.append('    <origin xyz="0 0 0" rpy="0 0 0"/>')
+        lines.append(f'    <parent link="{chain[i]}"/>')
+        lines.append(f'    <child link="{chain[i + 1]}"/>')
+        lines.append(f'    <axis xyz="{axis}"/>')
+        lines.append('    <limit effort="100" lower="-10" upper="10" velocity="100"/>')
+        lines.append('  </joint>')
+    lines.append('</robot>')
+    urdf_path = os.path.join(directory, f"{object_name}.urdf")
+    with open(urdf_path, "w") as f:
+        f.write("\n".join(lines))
+    return urdf_path, object_name
