@@ -1,0 +1,110 @@
+"""Headline benchmark: robot-SDF batched query throughput.
+
+Reproduces the reference's README measurement (reference README.md:195-201,
+produced by tests/test_model_to_sdf.py:200-204): a 7-DOF serial arm (8 links)
+with cached link SDFs, N configurations x M=15,251 grid points (x in
+[-1, 0.5], y = 0.02 slice, z in [-0.2, 0.8], 0.01 resolution).
+
+Baseline to beat: RTX 2080 Ti, N=200 -> 128.65 ms total = 23.7M config-point
+queries/s (BASELINE.md).  Prints ONE JSON line.
+
+Run on whatever accelerator jax selects (the driver runs this on one real TPU
+chip).  First run builds the link voxel caches into ``bench_cache/`` (kept
+across runs).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+BASELINE_QPS = 200 * 15251 / 0.12865  # reference README 200-config number
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_volumetric_tpu as pv
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    log(f"devices: {jax.devices()}")
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    arm_dir = os.path.join(BENCH_DIR, "arm")
+    urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+
+    t0 = time.perf_counter()
+    robot = pv.RobotSDF(
+        chain, path_prefix=arm_dir,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.02, padding=1.0,
+            cache_path=os.path.join(BENCH_DIR, "sdf_cache.npz")))
+    log(f"robot + link caches ready in {time.perf_counter() - t0:.1f}s")
+
+    # reference query grid: 151 x 1 x 101 = 15,251 points
+    query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
+    _, pts = pv.get_coordinates_and_points_in_grid(0.01, query_range)
+    M = pts.shape[0]
+
+    N = 200
+    rng = np.random.default_rng(0)
+    th0 = np.array([0.0, -np.pi / 4, 0.0, np.pi / 2, 0.0, np.pi / 4, 0.0],
+                   dtype=np.float32)
+    th = jnp.asarray(np.concatenate([th0[None],
+                                     th0 + rng.normal(0, 0.1, (N - 1, 7))]),
+                     dtype=jnp.float32)
+
+    # fused functional path (jitted on first call).  NOTE: on the axon TPU
+    # platform block_until_ready does not reliably wait, so every timing
+    # forces a scalar host fetch.
+    val, grad = robot.query(th, pts)
+    float(val.sum())
+
+    # timed forward
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        val, grad = robot.query(th, pts)
+        float(val.sum())
+    fwd_s = (time.perf_counter() - t0) / reps
+    qps = N * M / fwd_s
+    log(f"forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> {qps / 1e6:.1f}M queries/s")
+
+    # forward + backward w.r.t. joint configuration
+    def loss(q):
+        v, _ = robot.query(q, pts)
+        return jnp.sum(v)
+
+    g = jax.jit(jax.grad(loss))
+    gv = g(th)
+    float(gv.sum())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        gv = g(th)
+        float(gv.sum())
+    bwd_s = (time.perf_counter() - t0) / reps
+    log(f"forward+backward: {bwd_s * 1e3:.2f} ms -> {N * M / bwd_s / 1e6:.1f}M queries/s")
+
+    print(json.dumps({
+        "metric": "robot_sdf_query_throughput",
+        "value": round(qps, 1),
+        "unit": "config-point queries/s (200 configs x 15251 pts, 8 cached links)",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "extra": {
+            "forward_ms": round(fwd_s * 1e3, 3),
+            "forward_backward_ms": round(bwd_s * 1e3, 3),
+            "baseline_qps": round(BASELINE_QPS, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

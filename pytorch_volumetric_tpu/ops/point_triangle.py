@@ -183,16 +183,27 @@ def signed_closest_query(points: jnp.ndarray, tri: jnp.ndarray,
                          surface_normal_eps: float = 1e-3,
                          winding_threshold: float = 0.5,
                          point_chunk: int = DEFAULT_POINT_CHUNK,
-                         tri_chunk: int = DEFAULT_TRI_CHUNK):
+                         tri_chunk: int = DEFAULT_TRI_CHUNK,
+                         backend: str = "auto"):
     """Full signed query matching the reference's semantics
     (sdf.py:122-172): signed distance, SDF gradient (with the face-normal
     override within ``surface_normal_eps`` of the surface, sdf.py:159-164),
     closest surface point, and the face normal at the closest point.
 
+    ``backend``: "auto" uses the Pallas TPU kernel on TPU and the XLA sweep
+    elsewhere; "pallas" / "xla" force one.
+
     Returns ``(closest [P,3], sdf [P], gradient [P,3], normal [P,3])``.
     """
-    dist, closest, fid, wind = mesh_closest_query(
-        points, tri, point_chunk=point_chunk, tri_chunk=tri_chunk)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from pytorch_volumetric_tpu.ops.pallas.closest_point import (
+            mesh_closest_query_pallas)
+        dist, closest, fid, wind = mesh_closest_query_pallas(points, tri)
+    else:
+        dist, closest, fid, wind = mesh_closest_query(
+            points, tri, point_chunk=point_chunk, tri_chunk=tri_chunk)
     inside = wind > winding_threshold
     sign = jnp.where(inside, -1.0, 1.0).astype(points.dtype)
     sdf = sign * dist

@@ -1,0 +1,4 @@
+from pytorch_volumetric_tpu.parallel.sharding import (
+    CONFIG_AXIS, POINT_AXIS, make_device_mesh, sharded_robot_query,
+    sharded_sdf_query, make_collision_step,
+)

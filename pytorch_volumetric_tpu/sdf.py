@@ -466,6 +466,33 @@ class OutOfBoundsStrategy(enum.Enum):
 
 DEFAULT_CACHE_PATH = "sdf_cache.npz"
 
+GRID_SWEEP_CHUNK = 131072
+
+
+def _grid_sweep(gt_sdf: "ObjectFrameSDF", pts: jnp.ndarray,
+                chunk: int = GRID_SWEEP_CHUNK):
+    """Evaluate ``gt_sdf`` over a large grid in fixed-shape host-side chunks:
+    one compile, many cheap dispatches, bounded device memory, progress logs
+    (the expensive CachedSDF build step, reference sdf.py:502-503)."""
+    P = pts.shape[0]
+    if P <= chunk:
+        val, grad = gt_sdf(pts)
+        return np.asarray(val), np.asarray(grad).reshape(-1, pts.shape[-1])
+    vals = np.empty((P,), dtype=np.float32)
+    grads = np.empty((P, pts.shape[-1]), dtype=np.float32)
+    n = (P + chunk - 1) // chunk
+    pad = n * chunk - P
+    pts_padded = jnp.pad(pts, ((0, pad), (0, 0))) if pad else pts
+    for i in range(n):
+        lo = i * chunk
+        v, g = gt_sdf(pts_padded[lo:lo + chunk])
+        hi = min(lo + chunk, P)
+        vals[lo:hi] = np.asarray(v)[: hi - lo]
+        grads[lo:hi] = np.asarray(g)[: hi - lo]
+        if n > 4:
+            logger.info("grid sweep %d/%d", i + 1, n)
+    return vals, grads
+
 
 class CachedSDF(ObjectFrameSDF):
     """SDF by nearest-voxel lookup of precomputed value + gradient grids
@@ -520,10 +547,9 @@ class CachedSDF(ObjectFrameSDF):
                     "queryable SDF")
             coords, pts = get_coordinates_and_points_in_grid(
                 self.resolution, self.ranges)
-            sdf_val, sdf_grad = gt_sdf(pts)
+            val_np, grad_np = _grid_sweep(gt_sdf, pts)
             shape = [len(c) for c in coords]
-            val_np = np.asarray(sdf_val).reshape(shape)
-            grad_np = np.asarray(sdf_grad).reshape(-1, pts.shape[-1])
+            val_np = val_np.reshape(shape)
             self._stored_bb = np.asarray(gt_sdf.surface_bounding_box())
             store.put(self.name, [val_np, grad_np, self._stored_bb])
             logger.info("caching sdf for %s to %s", self.name, cache_path)

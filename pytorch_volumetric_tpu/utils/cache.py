@@ -65,8 +65,10 @@ class NpzStore:
             tmp = self.path + ".tmp"
             d = os.path.dirname(os.path.abspath(self.path))
             os.makedirs(d, exist_ok=True)
+            # uncompressed: SDF grids are float noise (compress poorly) and
+            # stores are rewritten per put — write bandwidth matters
             with open(tmp, "wb") as f:
-                np.savez_compressed(f, **data)
+                np.savez(f, **data)
             os.replace(tmp, self.path)
 
     def delete(self, key: str) -> None:
