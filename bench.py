@@ -62,34 +62,46 @@ def main():
                                      th0 + rng.normal(0, 0.1, (N - 1, 7))]),
                      dtype=jnp.float32)
 
-    # fused functional path (jitted on first call).  NOTE: on the axon TPU
-    # platform block_until_ready does not reliably wait, so every timing
-    # forces a scalar host fetch.
-    val, grad = robot.query(th, pts)
-    float(val.sum())
+    # Timing methodology: the tunneled TPU has a ~33 ms dispatch+fetch floor
+    # and block_until_ready does not reliably wait, so we chain `reps`
+    # iterations on device inside one jitted scan (perturbing q each step to
+    # prevent CSE) and pay a single dispatch + scalar fetch.
+    from pytorch_volumetric_tpu.sdf import compose_query
+    children = tuple(s.raw_query for s in robot.sdf.sdfs)
 
-    # timed forward
+    def query_sum(q, pts):
+        m, m_inv = robot._link_transforms(q)
+        v, g = compose_query(children, m, m_inv, q.shape[0], pts)
+        return v.sum() + g.sum()
+
     reps = 10
+
+    def chained(fn):
+        @jax.jit
+        def run(q, pts):
+            def body(c, i):
+                return c + fn(q + 1e-6 * i, pts), None
+            out, _ = jax.lax.scan(body, jnp.float32(0),
+                                  jnp.arange(reps, dtype=jnp.float32))
+            return out
+
+        return run
+
+    fwd = chained(query_sum)
+    float(fwd(th, pts))  # compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        val, grad = robot.query(th, pts)
-        float(val.sum())
+    acc = float(fwd(th, pts))
     fwd_s = (time.perf_counter() - t0) / reps
     qps = N * M / fwd_s
-    log(f"forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> {qps / 1e6:.1f}M queries/s")
+    log(f"forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> {qps / 1e6:.1f}M queries/s "
+        f"(acc={acc:.3e})")
 
     # forward + backward w.r.t. joint configuration
-    def loss(q):
-        v, _ = robot.query(q, pts)
-        return jnp.sum(v)
-
-    g = jax.jit(jax.grad(loss))
-    gv = g(th)
-    float(gv.sum())
+    bwd = chained(lambda q, p: jax.grad(
+        lambda qq: query_sum(qq, p))(q).sum())
+    float(bwd(th, pts))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        gv = g(th)
-        float(gv.sum())
+    acc = float(bwd(th, pts))
     bwd_s = (time.perf_counter() - t0) / reps
     log(f"forward+backward: {bwd_s * 1e3:.2f} ms -> {N * M / bwd_s / 1e6:.1f}M queries/s")
 

@@ -346,21 +346,25 @@ def compose_query(child_raw_queries: Tuple[Callable, ...],
     pts_all = pts_all.reshape(S, batch, F, 3)
     R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
 
-    vals, grads = [], []
+    # incremental min-union: carry the running (best value, best gradient)
+    # instead of stacking [S, ...] and argmin-gathering afterwards — fewer
+    # materialized intermediates, and XLA fuses the elementwise select chains
+    # between the per-child gathers
+    best_v = None
+    best_g = None
     for i, raw in enumerate(child_raw_queries):
         v, g = raw(pts_all[i].reshape(batch * F, 3))
+        v = v.reshape(batch, F)
         g = g.reshape(batch, F, 3)
         # rotate gradients back into the object frame (rigid: R == inv-transpose)
         g = jnp.einsum("bij,bfj->bfi", R_back[i], g)
-        vals.append(v.reshape(batch, F))
-        grads.append(g)
-
-    v = jnp.stack(vals)          # [S, B, F]
-    g = jnp.stack(grads)         # [S, B, F, 3]
-    closest = jnp.argmin(v, axis=0)
-    vv = jnp.take_along_axis(v, closest[None], axis=0)[0]
-    gg = jnp.take_along_axis(g, closest[None, ..., None], axis=0)[0]
-    return vv, gg
+        if best_v is None:
+            best_v, best_g = v, g
+        else:
+            better = v < best_v
+            best_v = jnp.where(better, v, best_v)
+            best_g = jnp.where(better[..., None], g, best_g)
+    return best_v, best_g
 
 
 class ComposedSDF(ObjectFrameSDF):
@@ -568,8 +572,11 @@ class CachedSDF(ObjectFrameSDF):
         res = jnp.asarray(self.voxels.res, dtype=jnp.float32)
         n = jnp.asarray(shape, dtype=jnp.int32)
         strides = jnp.asarray(self.voxels._strides, dtype=jnp.int32)
-        val_flat = self.voxels.raw_data.reshape(-1)
-        grad_flat = self.voxels_grad
+        # pack (value, grad) into one [G, 4] row per voxel: TPU gathers are
+        # row-count-bound (~190M rows/s), so one 16B row gather is 2x cheaper
+        # than separate value + gradient gathers
+        vg = jnp.concatenate(
+            [self.voxels.raw_data.reshape(-1, 1), self.voxels_grad], axis=1)
         bb = self.bb
         strategy = self.out_of_bounds_strategy
         gt_raw = self.gt_sdf.raw_query if self.gt_sdf is not None else None
@@ -579,7 +586,13 @@ class CachedSDF(ObjectFrameSDF):
             keys = jnp.round((pts - lo) / res).astype(jnp.int32)
             valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
             flat_idx = jnp.sum(jnp.clip(keys, 0, n - 1) * strides, axis=-1)
-            return val_flat[flat_idx], grad_flat[flat_idx], valid
+            # out-of-bounds lanes all read row 0: their gathered value is
+            # discarded by the select below, and the duplicated address turns
+            # a random HBM access into a cache hit — with tight grids most
+            # lanes are out-of-bounds, making the gather nearly free
+            flat_idx = jnp.where(valid, flat_idx, 0)
+            rows = vg[flat_idx]
+            return rows[..., 0], rows[..., 1:4], valid
 
         def gather_trilinear(pts):
             f = (pts - lo) / res
@@ -590,17 +603,15 @@ class CachedSDF(ObjectFrameSDF):
             f = jnp.clip(f, 0.0, (n - 1).astype(pts.dtype))
             i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
             w = f - i0.astype(pts.dtype)
-            val = jnp.zeros(pts.shape[:-1], dtype=pts.dtype)
-            grad = jnp.zeros_like(pts)
+            acc = jnp.zeros(pts.shape[:-1] + (4,), dtype=pts.dtype)
             for corner in range(8):
                 offs = jnp.asarray([(corner >> d) & 1 for d in range(3)],
                                    dtype=jnp.int32)
                 idx = i0 + offs
                 wt = jnp.prod(jnp.where(offs == 1, w, 1.0 - w), axis=-1)
                 flat_idx = jnp.sum(idx * strides, axis=-1)
-                val = val + wt * val_flat[flat_idx]
-                grad = grad + wt[..., None] * grad_flat[flat_idx]
-            return val, grad, valid
+                acc = acc + wt[..., None] * vg[flat_idx]
+            return acc[..., 0], acc[..., 1:4], valid
 
         gather = gather_trilinear if trilinear else gather_nearest
 
