@@ -36,7 +36,12 @@ class RobotSDF(sdf.ObjectFrameSDF):
 
     def __init__(self, chain: Chain, default_joint_config=None, path_prefix="",
                  link_sdf_cls: typing.Callable[[sdf.ObjectFactory],
-                                               sdf.ObjectFrameSDF] = sdf.MeshSDF):
+                                               sdf.ObjectFrameSDF] = sdf.MeshSDF,
+                 primitive_geometry: bool = True):
+        """``primitive_geometry``: build analytic SDFs (Box/Sphere/Cylinder)
+        for non-mesh link visuals.  The reference warns and skips these
+        (model_to_sdf.py:56); analytic primitives are exact and cheap, so we
+        support them by default (set False for strict reference parity)."""
         self.chain = chain
         self.q = None
         self.joint_names = self.chain.get_joint_parameter_names()
@@ -61,8 +66,24 @@ class RobotSDF(sdf.ObjectFrameSDF):
                     self.sdf_to_link_name.append(frame.link.name)
                     offsets.append(np.asarray(link_vis.offset, dtype=np.float32))
                 elif link_vis.geom_type is not None:
-                    logger.warning("Cannot handle non-mesh link visual type %s for %s",
-                                   link_vis.geom_type, frame.link.name)
+                    prim = None
+                    if primitive_geometry:
+                        if link_vis.geom_type == "box":
+                            prim = sdf.BoxSDF(link_vis.geom_param[0])
+                        elif link_vis.geom_type == "sphere":
+                            prim = sdf.SphereSDF(link_vis.geom_param[0])
+                        elif link_vis.geom_type == "cylinder":
+                            prim = sdf.CylinderSDF(*link_vis.geom_param)
+                        elif link_vis.geom_type == "capsule":
+                            prim = sdf.CapsuleSDF(*link_vis.geom_param)
+                    if prim is not None:
+                        sdfs.append(prim)
+                        self.sdf_to_link_name.append(frame.link.name)
+                        offsets.append(np.asarray(link_vis.offset, dtype=np.float32))
+                    else:
+                        logger.warning(
+                            "Cannot handle non-mesh link visual type %s for %s",
+                            link_vis.geom_type, frame.link.name)
         if not sdfs:
             raise ValueError("Chain has no mesh visuals to build SDFs from")
 

@@ -138,6 +138,12 @@ def _sweep_chunk(points: jnp.ndarray, tri: jnp.ndarray, tri_chunk: int):
         jnp.zeros((P,), dtype=points.dtype),
         jnp.int32(0),
     )
+    # under shard_map the triangle shards are device-varying while the init
+    # constants are not; mark the carry as varying over those axes so the
+    # scan's carry types match
+    vma = tuple(jax.typeof(tri).vma) if hasattr(jax, "typeof") else ()
+    if vma:
+        init = jax.tree_util.tree_map(lambda a: jax.lax.pvary(a, vma), init)
     (best_d2, best_pt, best_fid, wind, _), _ = jax.lax.scan(body, init, tri_tiles)
     return best_d2, best_pt, best_fid, wind / _FOUR_PI
 

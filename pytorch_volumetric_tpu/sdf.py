@@ -277,6 +277,106 @@ class SphereSDF(ObjectFrameSDF):
         return jnp.asarray([[-length, length]] * 3)
 
 
+class BoxSDF(ObjectFrameSDF):
+    """Analytic axis-aligned box centered at the origin.  The reference skips
+    non-mesh link visuals entirely (model_to_sdf.py:56); we support them as
+    analytic primitives — exact, differentiable, and far cheaper than meshes."""
+
+    def __init__(self, size):
+        self.size = jnp.asarray(size, dtype=jnp.float32)  # full extents [3]
+
+    def raw_query(self, points):
+        half = self.size / 2.0
+        q = jnp.abs(points) - half
+        q_out = jnp.maximum(q, 0.0)
+        d_out = jnp.linalg.norm(q_out, axis=-1)
+        q_in = jnp.max(q, axis=-1)
+        d_in = jnp.minimum(q_in, 0.0)
+        dist = d_out + d_in
+        # gradient: outside -> normalized residual; inside -> axis of the
+        # closest face
+        sign = jnp.sign(points)
+        sign = jnp.where(sign == 0, 1.0, sign)
+        grad_out = sign * q_out / jnp.maximum(d_out, 1e-12)[..., None]
+        inside_axis = jnp.argmax(q, axis=-1)
+        grad_in = sign * jax.nn.one_hot(inside_axis, 3, dtype=points.dtype)
+        grad = jnp.where((d_out > 0)[..., None], grad_out, grad_in)
+        return dist, grad
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        half = np.asarray(self.size) / 2.0
+        pad = padding + padding_ratio * 2 * half
+        return jnp.asarray(np.stack([-half - pad, half + pad], axis=1))
+
+
+class CylinderSDF(ObjectFrameSDF):
+    """Analytic capped cylinder along z, centered at the origin (URDF
+    convention)."""
+
+    def __init__(self, radius: float, height: float):
+        self.radius = radius
+        self.height = height
+
+    def raw_query(self, points):
+        r = jnp.linalg.norm(points[..., :2], axis=-1)
+        dr = r - self.radius
+        dz = jnp.abs(points[..., 2]) - self.height / 2.0
+        out_r = jnp.maximum(dr, 0.0)
+        out_z = jnp.maximum(dz, 0.0)
+        d_out = jnp.sqrt(out_r ** 2 + out_z ** 2)
+        d_in = jnp.minimum(jnp.maximum(dr, dz), 0.0)
+        dist = d_out + d_in
+        # gradient
+        radial = points[..., :2] / jnp.maximum(r, 1e-12)[..., None]
+        zsign = jnp.sign(points[..., 2])
+        zsign = jnp.where(zsign == 0, 1.0, zsign)
+        # outside: combine radial/axial residuals; inside: nearest face normal
+        gr = out_r / jnp.maximum(d_out, 1e-12)
+        gz = out_z / jnp.maximum(d_out, 1e-12) * zsign
+        grad_out = jnp.concatenate([radial * gr[..., None], gz[..., None]], axis=-1)
+        grad_in_radial = jnp.concatenate(
+            [radial, jnp.zeros_like(points[..., :1])], axis=-1)
+        grad_in_axial = jnp.concatenate(
+            [jnp.zeros_like(points[..., :2]), zsign[..., None]], axis=-1)
+        grad_in = jnp.where((dr > dz)[..., None], grad_in_radial, grad_in_axial)
+        grad = jnp.where((d_out > 0)[..., None], grad_out, grad_in)
+        return dist, grad
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        r = self.radius + padding + padding_ratio * 2 * self.radius
+        h = self.height / 2.0 + padding + padding_ratio * self.height
+        return jnp.asarray([[-r, r], [-r, r], [-h, h]])
+
+
+class CapsuleSDF(ObjectFrameSDF):
+    """Analytic capsule along z (cylinder of ``height`` with hemispherical
+    caps), centered at the origin — exact and smooth everywhere."""
+
+    def __init__(self, radius: float, height: float):
+        self.radius = radius
+        self.height = height
+
+    def raw_query(self, points):
+        half = self.height / 2.0
+        z = jnp.clip(points[..., 2], -half, half)
+        axis_pt = jnp.concatenate(
+            [jnp.zeros_like(points[..., :2]), z[..., None]], axis=-1)
+        diff = points - axis_pt
+        d_axis = jnp.linalg.norm(diff, axis=-1)
+        dist = d_axis - self.radius
+        grad = diff / jnp.maximum(d_axis, 1e-12)[..., None]
+        # on-axis points: gradient defaults to +x (any direction is valid)
+        degenerate = d_axis < 1e-12
+        grad = jnp.where(degenerate[..., None],
+                         jnp.asarray([1.0, 0.0, 0.0], dtype=points.dtype), grad)
+        return dist, grad
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        r = self.radius + padding
+        h = self.height / 2.0 + self.radius + padding
+        return jnp.asarray([[-r, r], [-r, r], [-h, h]])
+
+
 def _straight_through_sdf(raw_fn: Callable) -> Callable:
     """Wrap ``pts -> (val, grad)`` with a custom VJP whose derivative of the
     value w.r.t. the points is the analytic gradient itself.  This is what

@@ -77,3 +77,72 @@ def test_collision_training_step(robot):
         assert np.allclose(np.asarray(q), np.asarray(q_r), atol=1e-5)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_triangle_sharded_mesh_sdf(tmp_path):
+    """Triangle-sharded sweep over 8 devices == single-device MeshSDF."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from pytorch_volumetric_tpu.parallel import TriangleShardedMeshSDF
+
+    p = str(tmp_path / "w.obj")
+    m.save_obj(m.wrench_mesh(), p)
+    fac = pv.MeshObjectFactory(p)
+    mesh1d = Mesh(np.array(jax.devices()), ("tri",))
+    sharded = TriangleShardedMeshSDF(fac, mesh1d)
+    ref = pv.MeshSDF(fac)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-0.2, 0.2, (256, 3)),
+                      dtype=jnp.float32)
+    v1, g1 = sharded(pts)
+    v0, g0 = ref(pts)
+    assert np.allclose(np.asarray(v1), np.asarray(v0), atol=1e-6)
+    assert np.allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+    # differentiable like any other SDF
+    g = jax.grad(lambda q: sharded.raw_query(q)[0].sum())(pts)
+    assert np.allclose(np.asarray(g), np.asarray(g1), atol=1e-5)
+
+
+def test_sphere_box_cylinder_capsule_primitives():
+    from pytorch_volumetric_tpu.sdf import BoxSDF, CylinderSDF, CapsuleSDF
+    import jax.numpy as jnp
+
+    box = BoxSDF((0.4, 0.6, 0.8))
+    v, g = box(jnp.array([[0.5, 0.0, 0.0], [0.0, 0.0, 0.0], [0.3, 0.4, 0.5]]))
+    assert np.allclose(v, [0.3, -0.2, np.linalg.norm([0.1, 0.1, 0.1])], atol=1e-6)
+    assert np.allclose(np.linalg.norm(np.asarray(g), axis=-1), 1.0, atol=1e-5)
+
+    cyl = CylinderSDF(0.5, 1.0)
+    v, g = cyl(jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 0.0, 0.0]]))
+    assert np.allclose(v, [0.5, 0.5, -0.5], atol=1e-6)
+
+    cap = CapsuleSDF(0.25, 1.0)
+    v, g = cap(jnp.array([[0.0, 0.0, 1.0], [0.5, 0.0, 0.0], [0.0, 0.0, 0.0]]))
+    assert np.allclose(v, [0.25, 0.25, -0.25], atol=1e-6)
+
+
+def test_robot_with_primitive_links(tmp_path):
+    """URDF with box/cylinder visuals builds analytic link SDFs."""
+    import jax.numpy as jnp
+
+    urdf = """
+    <robot name="prim">
+      <link name="base">
+        <visual><origin xyz="0 0 0.1"/>
+          <geometry><box size="0.2 0.2 0.2"/></geometry></visual>
+      </link>
+      <link name="arm">
+        <visual><geometry><cylinder radius="0.05" length="0.4"/></geometry></visual>
+      </link>
+      <joint name="j1" type="revolute">
+        <origin xyz="0 0 0.2"/><parent link="base"/><child link="arm"/>
+        <axis xyz="0 1 0"/>
+        <limit lower="-3" upper="3" effort="1" velocity="1"/>
+      </joint>
+    </robot>"""
+    chain = pv.build_chain_from_urdf(urdf)
+    s = pv.RobotSDF(chain)
+    s.set_joint_configuration(jnp.zeros(1))
+    v, g = s(jnp.array([[0.0, 0.0, 0.1], [0.0, 0.0, 0.2], [1.0, 0.0, 0.1]]))
+    assert float(v[0]) < 0          # inside the base box
+    assert abs(float(v[1])) < 0.06  # near box top / cylinder
+    assert float(v[2]) > 0.5        # far away
