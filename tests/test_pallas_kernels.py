@@ -27,7 +27,7 @@ def test_pallas_matches_oracle(scene):
     d1, c1, f1, w1 = mesh_closest_query_pallas(pts, scene.tri, interpret=INTERPRET)
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
     assert np.abs(np.asarray(c0) - np.asarray(c1)).max() < 1e-6
-    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 1e-5
+    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4  # in-kernel polynomial atan2
     # face ids agree wherever the minimum is unique (ties at shared edges may
     # resolve to a different but equidistant face)
     diff = np.asarray(f0) != np.asarray(f1)
@@ -43,7 +43,7 @@ def test_pallas_ragged_sizes(scene):
         d1, _, _, w1 = mesh_closest_query_pallas(pts, scene.tri, interpret=INTERPRET)
         assert d1.shape == (P,)
         assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
-        assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 1e-5
+        assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4  # in-kernel polynomial atan2
 
 
 def test_pallas_small_mesh():
@@ -54,4 +54,4 @@ def test_pallas_small_mesh():
     d0, _, _, w0 = mesh_closest_query(pts, scene.tri)
     d1, _, _, w1 = mesh_closest_query_pallas(pts, scene.tri, interpret=INTERPRET)
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
-    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 1e-5
+    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4  # in-kernel polynomial atan2
