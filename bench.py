@@ -49,10 +49,13 @@ def main():
             cache_path=os.path.join(BENCH_DIR, "sdf_cache.npz")))
     log(f"robot + link caches ready in {time.perf_counter() - t0:.1f}s")
 
-    # reference query grid: 151 x 1 x 101 = 15,251 points
+    # reference query grid: 151 x 1 x 101 = 15,251 points.  The grid sweep is
+    # spatially coherent, so the segmented brick-gather fast path applies
+    # (query resolution 0.01 <= cache resolution 0.02 / 2); M counts only the
+    # useful (unpadded) queries.
     query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
-    _, pts = pv.get_coordinates_and_points_in_grid(0.01, query_range)
-    M = pts.shape[0]
+    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    M = take_idx.shape[0]
 
     N = 200
     rng = np.random.default_rng(0)
@@ -66,12 +69,12 @@ def main():
     # and block_until_ready does not reliably wait, so we chain `reps`
     # iterations on device inside one jitted scan (perturbing q each step to
     # prevent CSE) and pay a single dispatch + scalar fetch.
-    from pytorch_volumetric_tpu.sdf import compose_query
-    children = tuple(s.raw_query for s in robot.sdf.sdfs)
+    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+    children = tuple(robot.sdf.sdfs)
 
     def query_sum(q, pts):
         m, m_inv = robot._link_transforms(q)
-        v, g = compose_query(children, m, m_inv, q.shape[0], pts)
+        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], pts)
         return v.sum() + g.sum()
 
     reps = 10

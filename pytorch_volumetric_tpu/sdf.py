@@ -467,6 +467,169 @@ def compose_query(child_raw_queries: Tuple[Callable, ...],
     return best_v, best_g
 
 
+# -- coherent (segmented brick-gather) union query ---------------------------
+#
+# XLA gathers on TPU are issue-rate bound (~170M rows/s measured on v5e,
+# independent of row width, dtype, or index locality), so the naive
+# one-gather-per-(link, point) cached union costs S*P rows.  When consecutive
+# groups of COHERENT_SEG query points are spatially coherent (each quadruple
+# spans <= 1.5 * cache resolution per dimension — true for regular-grid sweeps
+# like the reference benchmark, draw_sdf_slice, and voxelization), one gather
+# of a 4x4x4 voxel *brick* serves the whole segment and per-point values are
+# extracted on the VPU with a one-hot dot: S*P/4 rows of 256 B instead of
+# S*P rows of 16 B — ~3.5x fewer gather issues, and row width is nearly free.
+# Bricks overlap at stride 2 per dim (8x the value grid in HBM) so that any
+# segment whose integer keys span <= 2 voxels is guaranteed to land inside the
+# brick anchored at 2*floor(min_key/2).
+
+COHERENT_SEG = 4
+
+
+class _CoherentTables(NamedTuple):
+    lo: jnp.ndarray        # [3] grid origin
+    res: jnp.ndarray       # [3] voxel size
+    n: jnp.ndarray         # [3] int32 grid dims
+    strides: jnp.ndarray   # [3] int32 ravel strides of the value grid
+    vg: jnp.ndarray        # [G, 4] packed (value, grad) rows
+    bricks: jnp.ndarray    # [NB, 64] overlapping 4x4x4 value bricks
+    bstrides: jnp.ndarray  # [3] int32 ravel strides of the brick grid
+    bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
+
+
+def _coherent_union_lookup(tables: Sequence[_CoherentTables],
+                           bases: Sequence[int]):
+    """Returns a custom-VJP function ``pts_c [C, B, F, 3] -> (val [B, F],
+    g_link [B, F, 3], oh [C, B, F])`` evaluating the min-union of the cached
+    children with brick gathers; ``g_link`` is the winner's gradient in the
+    *winner's own frame* and ``oh`` the winner one-hot (for rotating back and
+    for the straight-through VJP)."""
+    C = len(tables)
+    vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+    iota64 = jnp.arange(64, dtype=jnp.int32)
+    off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
+
+    def eval_union(pts_c):
+        B, F = pts_c.shape[1], pts_c.shape[2]
+        FS = F // COHERENT_SEG
+        best_v = best_i = best_flat = best_valid = None
+        for ci, t in enumerate(tables):
+            p = pts_c[ci]
+            k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
+            valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
+            kc = jnp.clip(k, 0, t.n - 1)
+            flat = jnp.sum(kc * t.strides, axis=-1) + bases[ci]
+            ks = kc.reshape(B, FS, COHERENT_SEG, 3)
+            corner2 = ks.min(axis=2) // 2                      # brick coord
+            bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
+            rows = t.bricks[bflat]                             # [B, FS, 64]
+            off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
+            offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
+            oh64 = (offf[..., None] == iota64).astype(p.dtype)
+            v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
+            # out-of-bounds: distance-to-AABB under-approximation
+            dmin = jnp.maximum(t.bb[:, 0] - p, 0.0)
+            dmax = jnp.maximum(p - t.bb[:, 1], 0.0)
+            v_oob = jnp.linalg.norm(dmax - dmin, axis=-1)
+            v = jnp.where(valid, v_in, v_oob)
+            if best_v is None:
+                best_v, best_flat, best_valid = v, flat, valid
+                best_i = jnp.zeros_like(flat)
+            else:
+                better = v < best_v
+                best_v = jnp.where(better, v, best_v)
+                best_flat = jnp.where(better, flat, best_flat)
+                best_valid = jnp.where(better, valid, best_valid)
+                best_i = jnp.where(better, ci, best_i)
+        oh = (best_i[None] == jnp.arange(C)[:, None, None]).astype(pts_c.dtype)
+        # single winner-row gather for the gradient
+        g_in = vg_cat[best_flat][..., 1:4]
+        # out-of-bounds winner: analytic AABB gradient in the winner's frame
+        bbs = jnp.stack([t.bb for t in tables])                # [C, 3, 2]
+        bb_w = jnp.einsum("cbf,cde->bfde", oh, bbs)
+        p_w = jnp.einsum("cbf,cbfd->bfd", oh, pts_c)
+        dmin = jnp.maximum(bb_w[..., 0] - p_w, 0.0)
+        dmax = jnp.maximum(p_w - bb_w[..., 1], 0.0)
+        dtotal = dmax - dmin
+        dist = jnp.linalg.norm(dtotal, axis=-1)
+        g_oob = dtotal / jnp.maximum(dist, 1e-12)[..., None]
+        g_link = jnp.where(best_valid[..., None], g_in, g_oob)
+        return best_v, g_link, oh
+
+    @jax.custom_vjp
+    def lookup(pts_c):
+        return eval_union(pts_c)
+
+    def fwd(pts_c):
+        val, g_link, oh = eval_union(pts_c)
+        return (val, g_link, oh), (g_link, oh)
+
+    def bwd(residual, cotangents):
+        g_link, oh = residual
+        ct_val = cotangents[0]
+        # straight-through: d val / d pts_c[ci] = onehot_ci * winner gradient
+        d_pts = oh[..., None] * (ct_val[..., None] * g_link)[None]
+        return (d_pts,)
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def compose_query_coherent(children: Sequence[ObjectFrameSDF],
+                           obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
+                           batch: int, points: jnp.ndarray):
+    """Min-union query like :func:`compose_query` but using the segmented
+    brick-gather fast path for ``CachedSDF`` children.
+
+    Contract: ``points [F, 3]`` with ``F % 4 == 0`` and every consecutive
+    quadruple spanning at most ``1.5 * resolution`` per dimension in world
+    units (rigid transforms preserve this).  Use
+    :func:`pytorch_volumetric_tpu.voxel.get_coherent_grid_points` to build a
+    conforming raster; results are bit-identical to :func:`compose_query`.
+
+    Children that are not nearest-neighbor BOUNDING_BOX ``CachedSDF``\\ s
+    (analytic primitives, ``MeshSDF``, trilinear/GT-fallback caches) are
+    evaluated on the generic per-point path and min-combined afterwards.
+    """
+    S = len(children)
+    F = points.shape[0]
+    if F % COHERENT_SEG:
+        raise ValueError(f"points count {F} must be a multiple of {COHERENT_SEG}")
+    pts_all = tfm.transform_points(obj_to_link, points).reshape(S, batch, F, 3)
+    R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
+
+    def is_fast(s):
+        return (isinstance(s, CachedSDF)
+                and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
+                and s.interpolation == "nearest")
+
+    fast = [i for i, s in enumerate(children) if is_fast(s)]
+    generic = [i for i in range(S) if i not in fast]
+
+    best_v = best_g = None
+    if fast:
+        tables = [children[i]._coherent_tables() for i in fast]
+        sizes = [int(t.vg.shape[0]) for t in tables]
+        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
+        lookup = _coherent_union_lookup(tables, bases)
+        val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]))
+        best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
+        for ci, i in enumerate(fast):
+            g_rot = jnp.einsum("bij,bfj->bfi", R_back[i], g_link)
+            best_g = best_g + oh[ci][..., None] * g_rot
+        best_v = val
+    for i in generic:
+        v, g = children[i].raw_query(pts_all[i].reshape(batch * F, 3))
+        v = v.reshape(batch, F)
+        g = jnp.einsum("bij,bfj->bfi", R_back[i], g.reshape(batch, F, 3))
+        if best_v is None:
+            best_v, best_g = v, g
+        else:
+            better = v < best_v
+            best_v = jnp.where(better, v, best_v)
+            best_g = jnp.where(better[..., None], g, best_g)
+    return best_v, best_g
+
+
 class ComposedSDF(ObjectFrameSDF):
     def __init__(self, sdfs: Sequence[ObjectFrameSDF],
                  obj_frame_to_each_frame: Optional[tfm.Transform3d] = None):
@@ -481,6 +644,7 @@ class ComposedSDF(ObjectFrameSDF):
         self.link_frame_to_obj_frame: Optional[jnp.ndarray] = None
         self.tsf_batch = None
         self._compose_jit = None
+        self._coherent_jit = None
         self.set_transforms(obj_frame_to_each_frame)
 
     def set_transforms(self, tsf: Optional[tfm.Transform3d], batch_dim=None):
@@ -496,6 +660,7 @@ class ComposedSDF(ObjectFrameSDF):
             self.link_frame_to_obj_frame = tfm.invert_tf(tsf.get_matrix())
         if prev_batch != self.tsf_batch:
             self._compose_jit = None  # batch size is a static arg: re-jit
+            self._coherent_jit = None
 
     def ith_transform_slice(self, i):
         if self.tsf_batch is None:
@@ -533,6 +698,27 @@ class ComposedSDF(ObjectFrameSDF):
             out_batch = pts_batch
             vv, gg = vv[0], gg[0]
         return vv.reshape(out_batch), gg.reshape(out_batch + (pts.shape[-1],))
+
+    def query_coherent(self, points_in_object_frame):
+        """Like ``__call__`` but on spatially-coherent points (consecutive
+        quadruples spanning <= 1.5 x cache resolution per dim; see
+        :func:`compose_query_coherent`).  Bit-identical results, ~3.5x fewer
+        gather rows for cached children on TPU.  Points must be flat
+        ``[F, 3]`` with ``F % 4 == 0``."""
+        pts = as_float_array(points_in_object_frame)
+        if self._coherent_jit is None:
+            children = tuple(self.sdfs)
+            B = self._batch
+
+            def fn(points, m, m_inv):
+                return compose_query_coherent(children, m, m_inv, B, points)
+
+            self._coherent_jit = jax.jit(fn)
+        vv, gg = self._coherent_jit(pts, self.obj_frame_to_link_frame.get_matrix(),
+                                    self.link_frame_to_obj_frame)
+        if self.tsf_batch is None:
+            vv, gg = vv[0], gg[0]
+        return vv, gg
 
     def surface_bounding_box(self, **kwargs):
         """Batched AABB of the union: per-child AABB corners transformed into
@@ -739,6 +925,45 @@ class CachedSDF(ObjectFrameSDF):
 
     def raw_query(self, points):
         return self._raw(points)
+
+    def _coherent_tables(self) -> _CoherentTables:
+        """Static tables for the segmented brick-gather fast path (built once,
+        lazily): the packed (value, grad) rows plus overlapping 4x4x4 value
+        bricks at stride 2 per dimension."""
+        if getattr(self, "_coherent_cache", None) is not None:
+            return self._coherent_cache
+        return self._build_coherent_tables()
+
+    def _build_coherent_tables(self) -> _CoherentTables:
+        # host-side build with concrete arrays (this lazy init may be reached
+        # inside a jit/grad trace; numpy + ensure_compile_time_eval keep
+        # tracers out of the per-instance cache)
+        val = np.asarray(self.voxels.raw_data)
+        n = np.asarray(val.shape, dtype=np.int64)
+        nb = (n - 1) // 2 + 1          # brick-corner grid dims
+        npad = 2 * nb + 2              # max corner 2*(nb-1) + brick extent 4
+        padded = np.pad(val, [(0, int(npad[d] - n[d])) for d in range(3)])
+        parts = []
+        for ux in range(4):
+            for uy in range(4):
+                for uz in range(4):
+                    parts.append(padded[ux:ux + 2 * int(nb[0] - 1) + 1:2,
+                                        uy:uy + 2 * int(nb[1] - 1) + 1:2,
+                                        uz:uz + 2 * int(nb[2] - 1) + 1:2])
+        bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
+        with jax.ensure_compile_time_eval():
+            bricks = jnp.asarray(np.stack(parts, axis=-1).reshape(-1, 64))
+            vg = jnp.asarray(np.concatenate(
+                [val.reshape(-1, 1), np.asarray(self.voxels_grad)], axis=1))
+            self._coherent_cache = _CoherentTables(
+                lo=jnp.asarray(self.voxels.lo, dtype=jnp.float32),
+                res=jnp.asarray(self.voxels.res, dtype=jnp.float32),
+                n=jnp.asarray(n, dtype=jnp.int32),
+                strides=jnp.asarray(self.voxels._strides, dtype=jnp.int32),
+                vg=vg, bricks=bricks,
+                bstrides=jnp.asarray(bstrides, dtype=jnp.int32),
+                bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32))
+        return self._coherent_cache
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
         if self.gt_sdf is not None:

@@ -45,6 +45,36 @@ def get_coordinates_and_points_in_grid(resolution: float, range_per_dim,
     return coords, pts
 
 
+def get_coherent_grid_points(resolution: float, range_per_dim,
+                             dtype=jnp.float32):
+    """Grid point list arranged for the segmented brick-gather fast path
+    (``ComposedSDF.query_coherent``): the fastest-varying (last) dimension is
+    padded to a multiple of 4 by repeating its final coordinate, so every
+    consecutive quadruple of points is collinear with span ``3 * resolution``.
+    That satisfies the coherence contract of ``compose_query_coherent``
+    whenever the cached-SDF voxel resolution is at least ``2 * resolution``.
+
+    Returns ``(pts [F, d], take_idx [N] numpy)`` where ``pts[take_idx]``
+    reproduces :func:`get_coordinates_and_points_in_grid` point order (the
+    padded duplicates are discarded).
+    """
+    coords, _ = get_coordinates_and_points_in_grid(resolution, range_per_dim,
+                                                   dtype=dtype, get_points=False)
+    sizes = [len(c) for c in coords]
+    nz = sizes[-1]
+    nzp = -(-nz // 4) * 4
+    if nzp != nz:
+        last = jnp.concatenate(
+            [coords[-1], jnp.full((nzp - nz,), coords[-1][-1], dtype=dtype)])
+        coords = coords[:-1] + [last]
+    mesh = jnp.meshgrid(*coords, indexing="ij")
+    pts = jnp.stack(mesh, axis=-1).reshape(-1, len(coords))
+    lead = int(np.prod(sizes[:-1], dtype=np.int64))
+    take_idx = (np.arange(lead, dtype=np.int64)[:, None] * nzp
+                + np.arange(nz, dtype=np.int64)[None, :]).reshape(-1)
+    return pts, take_idx
+
+
 # ---------------------------------------------------------------------------
 # Value-space grid view (multidim_indexing replacement)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Segmented brick-gather fast path == generic gather path, bit for bit.
+
+The coherent path (ComposedSDF.query_coherent / compose_query_coherent)
+amortizes one 4x4x4-voxel brick gather over 4 consecutive query points; it
+must reproduce the generic per-point nearest-voxel path exactly, including
+out-of-bounds AABB fallbacks and gradients through FK.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import pytorch_volumetric_tpu as pv
+from pytorch_volumetric_tpu.sdf import compose_query, compose_query_coherent
+from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+
+@pytest.fixture(scope="module")
+def robot(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("arm"))
+    urdf_path, end_link = make_serial_arm(d, num_joints=3, segments=8, rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    return pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.04, padding=0.3,
+            cache_path=str(tmp_path_factory.mktemp("c") / "cache.npz")))
+
+
+def _configs(n=3, m=3):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(-1, 1, (n, m)).astype(np.float32))
+
+
+def test_coherent_equals_generic_on_grid(robot):
+    # query grid at half the cache resolution -> coherence contract holds;
+    # range chosen to cover in-bounds, out-of-bounds, and straddling points
+    q = _configs()
+    robot.set_joint_configuration(q)
+    query_range = np.array([[-0.6, 0.3], [0.01, 0.01], [-0.3, 0.7]])
+    pts_c, take = pv.get_coherent_grid_points(0.02, query_range)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, query_range)
+    assert pts_c.shape[0] % 4 == 0
+    np.testing.assert_allclose(np.asarray(pts_c)[take], np.asarray(pts_g))
+
+    v_gen, g_gen = robot.sdf(pts_g)
+    v_coh, g_coh = robot.sdf.query_coherent(pts_c)
+    np.testing.assert_array_equal(np.asarray(v_coh)[:, take], np.asarray(v_gen))
+    np.testing.assert_array_equal(np.asarray(g_coh)[:, take], np.asarray(g_gen))
+
+
+def test_coherent_gradients_match_generic(robot):
+    q = _configs()
+    query_range = np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]])
+    pts, _ = pv.get_coherent_grid_points(0.02, query_range)
+    children = tuple(s.raw_query for s in robot.sdf.sdfs)
+    children_sdfs = tuple(robot.sdf.sdfs)
+
+    def loss_generic(qq):
+        m, m_inv = robot._link_transforms(qq)
+        v, g = compose_query(children, m, m_inv, qq.shape[0], pts)
+        return v.sum() + g.sum()
+
+    def loss_coherent(qq):
+        m, m_inv = robot._link_transforms(qq)
+        v, g = compose_query_coherent(children_sdfs, m, m_inv, qq.shape[0], pts)
+        return v.sum() + g.sum()
+
+    g1 = jax.grad(loss_generic)(q)
+    g2 = jax.grad(loss_coherent)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_coherent_mixed_children():
+    # union of a cached sphere and an analytic box: the analytic child goes
+    # through the generic sub-path inside compose_query_coherent
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        sphere = pv.SphereSDF(0.3)
+        cached = pv.CachedSDF("sph", 0.05, np.array([[-0.5, 0.5]] * 3), sphere,
+                              cache_path=f"{d}/c.npz")
+        from pytorch_volumetric_tpu.sdf import BoxSDF
+        box = BoxSDF((0.2, 0.2, 0.4))
+        tsf = pv.Transform3d(pos=jnp.asarray([[0.3, 0.0, 0.0],
+                                              [0.0, 0.25, 0.0]]))
+        comp = pv.ComposedSDF([cached, box], tsf.stack(tsf))
+        pts, take = pv.get_coherent_grid_points(
+            0.02, np.array([[-0.7, 0.7], [0.0, 0.0], [-0.7, 0.7]]))
+        _, pts_g = pv.get_coordinates_and_points_in_grid(
+            0.02, np.array([[-0.7, 0.7], [0.0, 0.0], [-0.7, 0.7]]))
+        v_gen, g_gen = comp(pts_g)
+        v_coh, g_coh = comp.query_coherent(pts)
+        np.testing.assert_allclose(np.asarray(v_coh)[:, take],
+                                   np.asarray(v_gen), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_coh)[:, take],
+                                   np.asarray(g_gen), atol=1e-6)
