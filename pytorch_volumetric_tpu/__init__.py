@@ -31,6 +31,8 @@ from pytorch_volumetric_tpu.model_to_sdf import (
 )
 from pytorch_volumetric_tpu.kinematics import (
     Chain, SerialChain, build_chain_from_urdf, build_serial_chain_from_urdf,
+    build_chain_from_sdf, build_serial_chain_from_sdf,
+    build_chain_from_mjcf, build_serial_chain_from_mjcf,
 )
 from pytorch_volumetric_tpu.visualization import draw_sdf_slice, get_transformed_meshes
 from pytorch_volumetric_tpu import mesh

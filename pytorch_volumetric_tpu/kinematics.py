@@ -12,6 +12,7 @@ XLA program and is differentiable w.r.t. joint values.
 from __future__ import annotations
 
 import logging
+import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -62,11 +63,15 @@ class Link:
 class Joint:
     name: str
     joint_type: str          # revolute | continuous | prismatic | fixed
-    origin: np.ndarray       # [4, 4] static transform parent->joint frame
+    origin: np.ndarray       # [4, 4] static transform parent->child frame (q=0)
     axis: np.ndarray         # [3]
     parent_link: str
     child_link: str
     limits: Tuple[float, float] = (-np.inf, np.inf)
+    # SDF/MJCF place the joint at an offset inside the child frame: the motion
+    # is conjugated, child(q) = origin @ offset @ motion(q) @ offset^-1.
+    # URDF joints have offset == identity (the child frame IS the joint frame).
+    joint_offset: Optional[np.ndarray] = None  # [4, 4]
 
 
 @dataclass
@@ -111,6 +116,14 @@ class Chain:
         self._axes = {f.name: jnp.asarray(
             f.joint.axis if f.joint is not None else np.array([0.0, 0, 1]),
             dtype=jnp.float32) for f in self._ordered}
+        self._joint_offsets = {}
+        for f in self._ordered:
+            if f.joint is not None and f.joint.joint_offset is not None \
+                    and not np.allclose(f.joint.joint_offset, np.eye(4)):
+                off = np.asarray(f.joint.joint_offset, dtype=np.float64)
+                self._joint_offsets[f.name] = (
+                    jnp.asarray(off, dtype=jnp.float32),
+                    jnp.asarray(np.linalg.inv(off), dtype=jnp.float32))
 
     # -- introspection (pytorch_kinematics API surface) ----------------------
     def get_joint_parameter_names(self, exclude_fixed=True) -> List[str]:
@@ -175,7 +188,11 @@ class Chain:
                 m = m @ origin
                 if f.joint.joint_type in ACTUATED_TYPES:
                     qi = q[..., jidx[f.joint.name]]
-                    m = m @ self._joint_motion(f, qi)
+                    motion = self._joint_motion(f, qi)
+                    off = self._joint_offsets.get(f.name)
+                    if off is not None:
+                        motion = off[0] @ motion @ off[1]
+                    m = m @ motion
             world[f.name] = m
             for c in f.children:
                 visit(c, m)
@@ -319,6 +336,289 @@ def build_serial_chain_from_urdf(data: str, end_link_name: str,
     """``pytorch_kinematics.build_serial_chain_from_urdf`` equivalent
     (reference tests/test_model_to_sdf.py:49)."""
     chain = build_chain_from_urdf(data)
+    root = chain.root
+    if root_link_name is not None:
+        f = chain.find_frame(root_link_name)
+        if f is None:
+            raise ValueError(f"root link {root_link_name!r} not found")
+        root = f
+    return SerialChain(root, end_link_name)
+
+
+# ---------------------------------------------------------------------------
+# SDF (Gazebo) format parsing
+# ---------------------------------------------------------------------------
+#
+# The reference reaches SDF/MJCF robots through pytorch_kinematics
+# (build_chain_from_sdf / build_chain_from_mjcf); these parsers produce the
+# same Frame tree as the URDF path.  Semantics differences handled here:
+# SDF link <pose> elements are model-frame (not parent-relative) and the
+# joint <pose> is child-link-relative, so the static origin becomes
+# X_parent^-1 @ X_child and the motion is conjugated by the joint-in-child
+# offset (Joint.joint_offset).
+
+def _pose_matrix(elem) -> np.ndarray:
+    """SDF ``<pose>x y z roll pitch yaw</pose>`` -> [4, 4]."""
+    m = np.eye(4)
+    if elem is not None and elem.text:
+        v = np.fromstring(elem.text, sep=" ")
+        m[:3, 3] = v[:3]
+        if v.size >= 6:
+            m[:3, :3] = np.asarray(tfm.rpy_to_matrix(jnp.asarray(v[3:6])))
+    return m
+
+
+_SDF_JOINT_TYPES = {"revolute": "revolute", "prismatic": "prismatic",
+                    "continuous": "continuous", "fixed": "fixed"}
+
+
+def _parse_sdf_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
+    if geom_elem is None:
+        return None, ()
+    mesh = geom_elem.find("mesh")
+    if mesh is not None:
+        uri = mesh.findtext("uri")
+        scale_txt = mesh.findtext("scale")
+        scale = None
+        if scale_txt:
+            s = np.fromstring(scale_txt, sep=" ")
+            scale = float(s[0]) if s.size else 1.0
+        return "mesh", (uri, scale)
+    box = geom_elem.find("box")
+    if box is not None:
+        return "box", (np.fromstring(box.findtext("size", ""), sep=" "),)
+    sphere = geom_elem.find("sphere")
+    if sphere is not None:
+        return "sphere", (float(sphere.findtext("radius")),)
+    cyl = geom_elem.find("cylinder")
+    if cyl is not None:
+        return "cylinder", (float(cyl.findtext("radius")),
+                            float(cyl.findtext("length")))
+    return None, ()
+
+
+def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
+    """Parse a Gazebo ``.sdf`` model into a kinematic tree
+    (``pytorch_kinematics.build_chain_from_sdf`` equivalent)."""
+    root_elem = ET.fromstring(data)
+    model = None
+    for m in root_elem.iter("model"):
+        if model_name is None or m.get("name") == model_name:
+            model = m
+            break
+    if model is None:
+        raise ValueError(f"no <model> named {model_name!r} found")
+
+    links: Dict[str, Link] = {}
+    link_pose: Dict[str, np.ndarray] = {}  # model-frame pose of each link
+    for link_elem in model.findall("link"):
+        name = link_elem.get("name")
+        link = Link(name)
+        X_l = _pose_matrix(link_elem.find("pose"))
+        link_pose[name] = X_l
+        for vis_elem in link_elem.findall("visual"):
+            gt, gp = _parse_sdf_geometry(vis_elem.find("geometry"))
+            offset = _pose_matrix(vis_elem.find("pose"))
+            link.visuals.append(Visual(gt, gp, offset))
+        links[name] = link
+
+    joints: List[Joint] = []
+    children = set()
+    for j in model.findall("joint"):
+        jtype = _SDF_JOINT_TYPES.get(j.get("type", "fixed"))
+        if jtype is None:
+            logger.warning("Unsupported SDF joint type %s for %s; treating as "
+                           "fixed", j.get("type"), j.get("name"))
+            jtype = "fixed"
+        parent = j.findtext("parent")
+        child = j.findtext("child")
+        X_p = link_pose.get(parent, np.eye(4))
+        X_c = link_pose.get(child, np.eye(4))
+        origin = np.linalg.solve(X_p, X_c)       # parent -> child at q = 0
+        joint_offset = _pose_matrix(j.find("pose"))  # child -> joint frame
+        axis_elem = j.find("axis")
+        axis = np.array([0.0, 0, 1])
+        limits = (-np.inf, np.inf)
+        if axis_elem is not None:
+            xyz = axis_elem.findtext("xyz")
+            if xyz:
+                axis = np.fromstring(xyz, sep=" ")
+            limit_elem = axis_elem.find("limit")
+            if limit_elem is not None and limit_elem.findtext("lower"):
+                limits = (float(limit_elem.findtext("lower")),
+                          float(limit_elem.findtext("upper")))
+        joints.append(Joint(name=j.get("name"), joint_type=jtype, origin=origin,
+                            axis=axis, parent_link=parent, child_link=child,
+                            limits=limits, joint_offset=joint_offset))
+        children.add(child)
+
+    roots = [name for name in links if name not in children]
+    if len(roots) != 1:
+        raise ValueError(f"SDF model must have exactly one root link, got {roots}")
+    by_parent: Dict[str, List[Joint]] = {}
+    for j in joints:
+        by_parent.setdefault(j.parent_link, []).append(j)
+
+    def build(link_name: str, joint: Optional[Joint]) -> Frame:
+        f = Frame(link_name, links[link_name], joint, [])
+        for j in by_parent.get(link_name, []):
+            f.children.append(build(j.child_link, j))
+        return f
+
+    return Chain(build(roots[0], None))
+
+
+def build_serial_chain_from_sdf(data: str, end_link_name: str,
+                                root_link_name: Optional[str] = None) -> SerialChain:
+    chain = build_chain_from_sdf(data)
+    root = chain.root
+    if root_link_name is not None:
+        f = chain.find_frame(root_link_name)
+        if f is None:
+            raise ValueError(f"root link {root_link_name!r} not found")
+        root = f
+    return SerialChain(root, end_link_name)
+
+
+# ---------------------------------------------------------------------------
+# MJCF (MuJoCo) format parsing
+# ---------------------------------------------------------------------------
+
+_MJCF_JOINT_TYPES = {"hinge": "revolute", "slide": "prismatic"}
+
+
+def _mjcf_body_matrix(elem, degrees: bool) -> np.ndarray:
+    """Body/geom/joint frame from MJCF pos + (quat | euler) attributes."""
+    m = np.eye(4)
+    if elem.get("pos"):
+        m[:3, 3] = np.fromstring(elem.get("pos"), sep=" ")
+    if elem.get("quat"):
+        q = np.fromstring(elem.get("quat"), sep=" ")  # w x y z
+        m[:3, :3] = np.asarray(tfm.quaternion_to_matrix(jnp.asarray(q)))
+    elif elem.get("euler"):
+        e = np.fromstring(elem.get("euler"), sep=" ")
+        if degrees:
+            e = np.deg2rad(e)
+        m[:3, :3] = np.asarray(tfm.euler_angles_to_matrix(jnp.asarray(e), "XYZ"))
+    return m
+
+
+def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool):
+    """MJCF <geom> -> Visual, translating MuJoCo's half-size conventions to
+    the URDF-style full sizes the rest of the library uses."""
+    gtype = geom.get("type", "sphere")
+    size = np.fromstring(geom.get("size", "0"), sep=" ")
+    offset = _mjcf_body_matrix(geom, degrees)
+    if gtype == "mesh":
+        name = geom.get("mesh")
+        if name not in meshes:
+            logger.warning("MJCF geom references unknown mesh %r", name)
+            return None
+        file, scale = meshes[name]
+        return Visual("mesh", (file, scale), offset)
+    if gtype == "box":
+        return Visual("box", (size * 2.0,), offset)      # half-extents -> full
+    if gtype == "sphere":
+        return Visual("sphere", (float(size[0]),), offset)
+    if gtype == "cylinder":
+        return Visual("cylinder", (float(size[0]), 2.0 * float(size[1])), offset)
+    if gtype == "capsule":
+        return Visual("capsule", (float(size[0]), 2.0 * float(size[1])), offset)
+    logger.warning("Unsupported MJCF geom type %r skipped", gtype)
+    return None
+
+
+def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
+    """Parse a MuJoCo MJCF document into a kinematic tree
+    (``pytorch_kinematics.build_chain_from_mjcf`` equivalent).  Supports
+    hinge/slide joints (free/ball are unsupported and treated as fixed with a
+    warning), nested bodies, and mesh/box/sphere/cylinder/capsule geoms."""
+    root_elem = ET.fromstring(data)
+    compiler = root_elem.find("compiler")
+    degrees = (compiler is None or
+               compiler.get("angle", "degree") == "degree")
+    meshes: Dict[str, tuple] = {}
+    asset = root_elem.find("asset")
+    if asset is not None:
+        for m in asset.findall("mesh"):
+            scale_attr = m.get("scale")
+            scale = None
+            if scale_attr:
+                s = np.fromstring(scale_attr, sep=" ")
+                scale = float(s[0]) if s.size else 1.0
+            meshes[m.get("name") or os.path.splitext(
+                os.path.basename(m.get("file")))[0]] = (m.get("file"), scale)
+
+    worldbody = root_elem.find("worldbody")
+    if worldbody is None:
+        raise ValueError("MJCF document has no <worldbody>")
+    start = worldbody
+    if body is not None:
+        start = next((b for b in worldbody.iter("body")
+                      if b.get("name") == body), None)
+        if start is None:
+            raise ValueError(f"body {body!r} not found")
+
+    counter = [0]
+
+    def body_name(b):
+        n = b.get("name")
+        if n is None:
+            counter[0] += 1
+            n = f"body{counter[0]}"
+        return n
+
+    def build(body_elem, parent_name: Optional[str]) -> Frame:
+        name = (body_name(body_elem) if body_elem.tag == "body"
+                else (body or "world"))
+        link = Link(name)
+        for geom in body_elem.findall("geom"):
+            v = _parse_mjcf_geom(geom, meshes, degrees)
+            if v is not None:
+                link.visuals.append(v)
+        joint = None
+        if body_elem.tag == "body" and parent_name is not None:
+            origin = _mjcf_body_matrix(body_elem, degrees)
+            joint_elems = body_elem.findall("joint")
+            if len(joint_elems) > 1:
+                logger.warning("body %s has %d joints; only the first is "
+                               "actuated", name, len(joint_elems))
+            je = joint_elems[0] if joint_elems else None
+            if je is not None and je.get("type", "hinge") in _MJCF_JOINT_TYPES:
+                jtype = _MJCF_JOINT_TYPES[je.get("type", "hinge")]
+                axis = (np.fromstring(je.get("axis"), sep=" ")
+                        if je.get("axis") else np.array([0.0, 0, 1]))
+                joint_offset = np.eye(4)
+                if je.get("pos"):
+                    joint_offset[:3, 3] = np.fromstring(je.get("pos"), sep=" ")
+                limits = (-np.inf, np.inf)
+                if je.get("range"):
+                    r = np.fromstring(je.get("range"), sep=" ")
+                    if degrees and jtype == "revolute":
+                        r = np.deg2rad(r)
+                    limits = (float(r[0]), float(r[1]))
+                joint = Joint(name=je.get("name") or f"{name}_joint",
+                              joint_type=jtype, origin=origin, axis=axis,
+                              parent_link=parent_name, child_link=name,
+                              limits=limits, joint_offset=joint_offset)
+            else:
+                if je is not None:
+                    logger.warning("Unsupported MJCF joint type %r on body %s; "
+                                   "treating as fixed", je.get("type"), name)
+                joint = Joint(name=f"{name}_fixed", joint_type="fixed",
+                              origin=origin, axis=np.array([0.0, 0, 1]),
+                              parent_link=parent_name, child_link=name)
+        f = Frame(name, link, joint, [])
+        for child in body_elem.findall("body"):
+            f.children.append(build(child, name))
+        return f
+
+    return Chain(build(start, None))
+
+
+def build_serial_chain_from_mjcf(data: str, end_link_name: str,
+                                 root_link_name: Optional[str] = None) -> SerialChain:
+    chain = build_chain_from_mjcf(data)
     root = chain.root
     if root_link_name is not None:
         f = chain.find_frame(root_link_name)
