@@ -82,6 +82,29 @@ def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
     )
 
 
+def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
+    """Like :func:`sharded_robot_query` but on the segmented brick-gather
+    fast path (``compose_query_coherent``) for spatially-coherent point
+    sweeps.  ``P`` must divide into per-device chunks that are multiples of 4
+    so segments stay intact under the point-axis sharding (contiguous chunk
+    per device)."""
+    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+
+    children = tuple(robot_sdf.sdf.sdfs)
+
+    def fn(q, pts):
+        m, m_inv = robot_sdf._link_transforms(q)
+        return compose_query_coherent(children, m, m_inv, q.shape[0], pts)
+
+    return jax.jit(
+        fn,
+        in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
+                      NamedSharding(mesh, P(POINT_AXIS, None))),
+        out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
+                       NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
+    )
+
+
 def sharded_sdf_query(sdf, mesh: Mesh) -> Callable:
     """Shard a plain ``ObjectFrameSDF`` query's flat point batch across every
     device of the mesh (both axes)."""

@@ -146,3 +146,25 @@ def test_robot_with_primitive_links(tmp_path):
     assert float(v[0]) < 0          # inside the base box
     assert abs(float(v[1])) < 0.06  # near box top / cylinder
     assert float(v[2]) > 0.5        # far away
+
+
+def test_sharded_robot_query_coherent_matches_single(tmp_path):
+    d = str(tmp_path / "arm")
+    urdf_path, end_link = make_serial_arm(d, num_joints=3, segments=8, rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    robot = pv.RobotSDF(chain, path_prefix=d,
+                        link_sdf_cls=pv.cache_link_sdf_factory(
+                            resolution=0.04, padding=0.3,
+                            cache_path=str(tmp_path / "c.npz")))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-1, 1, (8, 3)).astype(np.float32))
+    pts, take = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]]))
+    # per-device point chunks stay multiples of 4: 2-way point axis
+    mesh = parallel.make_device_mesh(n_config=4, n_point=2)
+    fn = parallel.sharded_robot_query_coherent(robot, mesh)
+    v_sh, g_sh = fn(q, pts)
+    robot.set_joint_configuration(q)
+    v_ref, g_ref = robot.sdf.query_coherent(pts)
+    assert np.array_equal(np.asarray(v_sh), np.asarray(v_ref))
+    assert np.array_equal(np.asarray(g_sh), np.asarray(g_ref))
