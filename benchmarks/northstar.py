@@ -1,0 +1,113 @@
+"""North-star workload: 200 configurations x 1,000,000 points per step.
+
+BASELINE.md's target scale (7-DOF robot, cached links, values + gradients).
+1.6e9 link-point lookups per forward pass do not fit HBM in one shot
+(the [links, configs, points, 3] transformed-point tensor alone would be
+19 GB), so the step chunks the configuration axis with ``lax.map`` inside a
+single jitted program: sequential on device, one dispatch, peak memory
+bounded by one chunk.
+
+Prints one JSON line with forward and forward+backward throughput.
+
+Usage: python benchmarks/northstar.py [--configs 200] [--points-side 100]
+       [--chunk 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, default=200)
+    ap.add_argument("--points-side", type=int, default=100,
+                    help="query grid is side^3 points")
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="configurations per lax.map chunk")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import pytorch_volumetric_tpu as pv
+    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    log(f"devices: {jax.devices()}")
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    arm_dir = os.path.join(BENCH_DIR, "arm")
+    urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    robot = pv.RobotSDF(
+        chain, path_prefix=arm_dir,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.02, padding=1.0,
+            cache_path=os.path.join(BENCH_DIR, "sdf_cache.npz")))
+    log("robot + link caches ready")
+
+    side = args.points_side
+    lo, res = -0.5, 0.01
+    query_range = np.array([[lo, lo + res * (side - 1)]] * 3)
+    pts, take_idx = pv.get_coherent_grid_points(res, query_range)
+    M = take_idx.shape[0]
+    N, C = args.configs, args.chunk
+    assert N % C == 0
+    rng = np.random.default_rng(0)
+    th = jnp.asarray(rng.normal(0, 0.3, (N, 7)).astype(np.float32))
+    children = tuple(robot.sdf.sdfs)
+
+    def chunk_loss(q_chunk, p):
+        m, m_inv = robot._link_transforms(q_chunk)
+        v, g = compose_query_coherent(children, m, m_inv, C, p)
+        return v.sum() + g.sum()
+
+    @jax.jit
+    def forward(q, p):
+        losses = jax.lax.map(lambda qc: chunk_loss(qc, p),
+                             q.reshape(N // C, C, -1))
+        return losses.sum()
+
+    @jax.jit
+    def forward_backward(q, p):
+        def per_chunk(qc):
+            l, gq = jax.value_and_grad(lambda x: chunk_loss(x, p))(qc)
+            return l + gq.sum()
+        return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
+
+    results = {}
+    for name, fn in (("forward", forward), ("forward_backward", forward_backward)):
+        t0 = time.perf_counter()
+        float(fn(th, pts))  # compile + run
+        log(f"{name} compile+first run: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        acc = float(fn(th, pts))
+        dt = time.perf_counter() - t0
+        results[name] = dt
+        log(f"{name}: {dt*1e3:.0f} ms for {N}x{M} -> "
+            f"{N * M / dt / 1e6:.1f}M queries/s (acc={acc:.3e})")
+
+    print(json.dumps({
+        "metric": "northstar_200x1e6",
+        "value": round(N * M / results["forward"], 1),
+        "unit": f"config-point queries/s ({N} configs x {M} pts, fwd)",
+        "extra": {
+            "forward_ms": round(results["forward"] * 1e3, 1),
+            "forward_backward_ms": round(results["forward_backward"] * 1e3, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

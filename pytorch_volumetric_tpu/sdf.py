@@ -511,7 +511,7 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
     def eval_union(pts_c):
         B, F = pts_c.shape[1], pts_c.shape[2]
         FS = F // COHERENT_SEG
-        best_v = best_i = best_flat = best_valid = None
+        best_v = best_i = best_flat = best_valid = best_g_oob = None
         for ci, t in enumerate(tables):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
@@ -526,33 +526,30 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
             v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
-            # out-of-bounds: distance-to-AABB under-approximation
+            # out-of-bounds: distance-to-AABB under-approximation, carrying
+            # its gradient through the min-union so no per-point winner
+            # reconstruction is needed afterwards
             dmin = jnp.maximum(t.bb[:, 0] - p, 0.0)
             dmax = jnp.maximum(p - t.bb[:, 1], 0.0)
-            v_oob = jnp.linalg.norm(dmax - dmin, axis=-1)
+            dtotal = dmax - dmin
+            v_oob = jnp.linalg.norm(dtotal, axis=-1)
+            g_oob = dtotal / jnp.maximum(v_oob, 1e-12)[..., None]
             v = jnp.where(valid, v_in, v_oob)
             if best_v is None:
                 best_v, best_flat, best_valid = v, flat, valid
+                best_g_oob = g_oob
                 best_i = jnp.zeros_like(flat)
             else:
                 better = v < best_v
                 best_v = jnp.where(better, v, best_v)
                 best_flat = jnp.where(better, flat, best_flat)
                 best_valid = jnp.where(better, valid, best_valid)
+                best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
         oh = (best_i[None] == jnp.arange(C)[:, None, None]).astype(pts_c.dtype)
         # single winner-row gather for the gradient
         g_in = vg_cat[best_flat][..., 1:4]
-        # out-of-bounds winner: analytic AABB gradient in the winner's frame
-        bbs = jnp.stack([t.bb for t in tables])                # [C, 3, 2]
-        bb_w = jnp.einsum("cbf,cde->bfde", oh, bbs)
-        p_w = jnp.einsum("cbf,cbfd->bfd", oh, pts_c)
-        dmin = jnp.maximum(bb_w[..., 0] - p_w, 0.0)
-        dmax = jnp.maximum(p_w - bb_w[..., 1], 0.0)
-        dtotal = dmax - dmin
-        dist = jnp.linalg.norm(dtotal, axis=-1)
-        g_oob = dtotal / jnp.maximum(dist, 1e-12)[..., None]
-        g_link = jnp.where(best_valid[..., None], g_in, g_oob)
+        g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
         return best_v, g_link, oh
 
     @jax.custom_vjp
@@ -699,13 +696,45 @@ class ComposedSDF(ObjectFrameSDF):
             vv, gg = vv[0], gg[0]
         return vv.reshape(out_batch), gg.reshape(out_batch + (pts.shape[-1],))
 
-    def query_coherent(self, points_in_object_frame):
+    def check_coherent_contract(self, points_in_object_frame) -> bool:
+        """True iff every 4-point segment of ``points`` lands inside its
+        4x4x4 brick for every cached child under the current transforms (the
+        correctness precondition of :meth:`query_coherent`).  Host-side debug
+        helper — an analog of the reference's ``debug_check_sdf``
+        (reference sdf.py:573-590)."""
+        pts = as_float_array(points_in_object_frame)
+        m = self.obj_frame_to_link_frame.get_matrix()
+        S, B, F = len(self.sdfs), self._batch, pts.shape[0]
+        if F % COHERENT_SEG:
+            return False
+        pts_all = np.asarray(tfm.transform_points(m, pts)).reshape(S, B, F, 3)
+        for i, s in enumerate(self.sdfs):
+            if not (isinstance(s, CachedSDF)
+                    and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
+                    and s.interpolation == "nearest"):
+                continue
+            t = s._coherent_tables()
+            k = np.round((pts_all[i] - np.asarray(t.lo)) / np.asarray(t.res))
+            kc = np.clip(k, 0, np.asarray(t.n) - 1).astype(np.int64)
+            ks = kc.reshape(B, F // COHERENT_SEG, COHERENT_SEG, 3)
+            corner = 2 * (ks.min(axis=2) // 2)
+            if (ks.max(axis=2) - corner).max() > 3:
+                return False
+        return True
+
+    def query_coherent(self, points_in_object_frame, debug_check=False):
         """Like ``__call__`` but on spatially-coherent points (consecutive
         quadruples spanning <= 1.5 x cache resolution per dim; see
         :func:`compose_query_coherent`).  Bit-identical results, ~3.5x fewer
         gather rows for cached children on TPU.  Points must be flat
-        ``[F, 3]`` with ``F % 4 == 0``."""
+        ``[F, 3]`` with ``F % 4 == 0``.  ``debug_check=True`` verifies the
+        coherence contract on host first and raises on violation."""
         pts = as_float_array(points_in_object_frame)
+        if debug_check and not self.check_coherent_contract(pts):
+            raise ValueError(
+                "points violate the coherence contract (a 4-point segment "
+                "spans more than its 4x4x4 voxel brick for some cached child); "
+                "use get_coherent_grid_points or the generic __call__ path")
         if self._coherent_jit is None:
             children = tuple(self.sdfs)
             B = self._batch

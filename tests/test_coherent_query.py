@@ -96,3 +96,20 @@ def test_coherent_mixed_children():
                                    np.asarray(v_gen), atol=1e-6)
         np.testing.assert_allclose(np.asarray(g_coh)[:, take],
                                    np.asarray(g_gen), atol=1e-6)
+
+
+def test_debug_check_contract(robot):
+    q = _configs()
+    robot.set_joint_configuration(q)
+    pts, _ = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]]))
+    assert robot.sdf.check_coherent_contract(pts)
+    v, g = robot.sdf.query_coherent(pts, debug_check=True)
+    assert np.all(np.isfinite(np.asarray(v)))
+
+    # scattered random points violate the contract
+    bad = jnp.asarray(np.random.default_rng(0).uniform(-0.5, 0.5, (64, 3)),
+                      dtype=jnp.float32)
+    assert not robot.sdf.check_coherent_contract(bad)
+    with pytest.raises(ValueError):
+        robot.sdf.query_coherent(bad, debug_check=True)
