@@ -34,12 +34,19 @@ def main():
     ap.add_argument("--configs", type=int, default=200)
     ap.add_argument("--points-side", type=int, default=100,
                     help="query grid is side^3 points")
-    ap.add_argument("--chunk", type=int, default=10,
-                    help="configurations per lax.map chunk")
+    ap.add_argument("--chunk", type=int, default=25,
+                    help="configurations per lax.map chunk (25 is the 16 GB "
+                         "v5e sweet spot: 50 OOMs at 22.5 GB, 10 loses ~25%% "
+                         "throughput to per-chunk latency)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    # the chunked 8-link program takes minutes to compile; persist it
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(BENCH_DIR, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     import pytorch_volumetric_tpu as pv
     from pytorch_volumetric_tpu.sdf import compose_query_coherent
