@@ -24,7 +24,7 @@ import numpy as np
 from pytorch_volumetric_tpu import sdf
 from pytorch_volumetric_tpu import transforms as tfm
 from pytorch_volumetric_tpu.kinematics import Chain
-from pytorch_volumetric_tpu.sdf import compose_query
+from pytorch_volumetric_tpu.sdf import compose_query, compose_query_coherent
 from pytorch_volumetric_tpu.utils.batching import as_float_array
 
 logger = logging.getLogger(__name__)
@@ -50,6 +50,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         self.sdf_to_link_name = []
         self.configuration_batch = None
         self._query_jit = None
+        self._query_grid_jit = None
 
         sdfs = []
         offsets = []
@@ -162,6 +163,43 @@ class RobotSDF(sdf.ObjectFrameSDF):
         vv, gg = self._query_jit(q_flat, pts_flat)
         out_batch = q_batch + pts_batch
         return vv.reshape(out_batch), gg.reshape(out_batch + (3,))
+
+    def query_grid(self, joint_config, query_range, resolution):
+        """Fused differentiable query over a regular world-frame grid, routed
+        through the segmented brick-gather fast path (one 4x4x4 voxel brick
+        gather serves 4 grid points; ~3.5x fewer TPU gather rows than
+        :meth:`query` when links are ``CachedSDF`` with voxel resolution
+        >= 2x the sweep resolution — the headline-benchmark shape).
+
+        :param joint_config: ``[A x] M``
+        :param query_range: ``(min, max)`` per dimension
+        :param resolution: grid sweep step
+        :return: ``(val [A x] n1 x n2 x n3, grad ... x 3)`` over the grid
+        """
+        from pytorch_volumetric_tpu.voxel import (
+            get_coherent_grid_points, get_coordinates_and_points_in_grid)
+
+        coords, _ = get_coordinates_and_points_in_grid(
+            resolution, query_range, get_points=False)
+        grid_shape = tuple(len(c) for c in coords)
+        pts, take_idx = get_coherent_grid_points(resolution, query_range)
+
+        q = as_float_array(joint_config)
+        q_batch = q.shape[:-1]
+        q_flat = q.reshape(-1, q.shape[-1])
+        if self._query_grid_jit is None:
+            children = tuple(self.sdf.sdfs)
+
+            def fn(qf, pf):
+                m, m_inv = self._link_transforms(qf)
+                return compose_query_coherent(children, m, m_inv,
+                                              qf.shape[0], pf)
+
+            self._query_grid_jit = jax.jit(fn)
+        vv, gg = self._query_grid_jit(q_flat, pts)
+        vv = vv[:, take_idx].reshape(q_batch + grid_shape)
+        gg = gg[:, take_idx].reshape(q_batch + grid_shape + (3,))
+        return vv, gg
 
     # -- geometry ----------------------------------------------------------------
     def surface_bounding_box(self, **kwargs):

@@ -504,9 +504,13 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
     *winner's own frame* and ``oh`` the winner one-hot (for rotating back and
     for the straight-through VJP)."""
     C = len(tables)
-    vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
-    iota64 = jnp.arange(64, dtype=jnp.int32)
-    off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
+    # concrete even when this closure is (re)built inside a jit/grad trace:
+    # a traced constant here would fail lowering under grad-of-jit
+    with jax.ensure_compile_time_eval():
+        vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+        iota64 = jnp.arange(64, dtype=jnp.int32)
+        off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
+        child_iota = jnp.arange(C, dtype=jnp.int32)
 
     def eval_union(pts_c):
         B, F = pts_c.shape[1], pts_c.shape[2]
@@ -546,7 +550,7 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
                 best_valid = jnp.where(better, valid, best_valid)
                 best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
-        oh = (best_i[None] == jnp.arange(C)[:, None, None]).astype(pts_c.dtype)
+        oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
         # single winner-row gather for the gradient
         g_in = vg_cat[best_flat][..., 1:4]
         g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)

@@ -14,6 +14,7 @@ import abc
 import math
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,7 +58,15 @@ def get_coherent_grid_points(resolution: float, range_per_dim,
     Returns ``(pts [F, d], take_idx [N] numpy)`` where ``pts[take_idx]``
     reproduces :func:`get_coordinates_and_points_in_grid` point order (the
     padded duplicates are discarded).
+
+    The inputs are host constants, so the build is forced to compile-time
+    (concrete arrays even when called inside a jit/grad trace).
     """
+    with jax.ensure_compile_time_eval():
+        return _get_coherent_grid_points(resolution, range_per_dim, dtype)
+
+
+def _get_coherent_grid_points(resolution, range_per_dim, dtype):
     coords, _ = get_coordinates_and_points_in_grid(resolution, range_per_dim,
                                                    dtype=dtype, get_points=False)
     sizes = [len(c) for c in coords]

@@ -113,3 +113,21 @@ def test_debug_check_contract(robot):
     assert not robot.sdf.check_coherent_contract(bad)
     with pytest.raises(ValueError):
         robot.sdf.query_coherent(bad, debug_check=True)
+
+
+def test_robot_query_grid(robot):
+    q = _configs()
+    query_range = np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]])
+    v, g = robot.query_grid(q, query_range, 0.02)
+    # same values as the generic fused path on the same grid
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, query_range)
+    v_ref, g_ref = robot.query(q, pts_g)
+    grid_shape = v.shape[1:]
+    assert v.shape == (3,) + grid_shape and g.shape == v.shape + (3,)
+    np.testing.assert_array_equal(np.asarray(v).reshape(3, -1),
+                                  np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(g).reshape(3, -1, 3),
+                                  np.asarray(g_ref))
+    # differentiable w.r.t. joint configuration
+    gq = jax.grad(lambda qq: robot.query_grid(qq, query_range, 0.02)[0].sum())(q)
+    assert np.all(np.isfinite(np.asarray(gq)))
