@@ -131,3 +131,39 @@ def test_robot_query_grid(robot):
     # differentiable w.r.t. joint configuration
     gq = jax.grad(lambda qq: robot.query_grid(qq, query_range, 0.02)[0].sum())(q)
     assert np.all(np.isfinite(np.asarray(gq)))
+
+
+def test_coherent_fuzz_random_geometry(tmp_path):
+    # random primitive geometries, odd grid dims, ranges hitting grid edges:
+    # the brick tables must reproduce the generic path bit-for-bit everywhere
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        sdfs, tf_rows = [], []
+        n_children = int(rng.integers(2, 5))
+        res = float(rng.choice([0.03, 0.045, 0.06]))
+        for c in range(n_children):
+            r = float(rng.uniform(0.08, 0.25))
+            gt = pv.SphereSDF(r)
+            # deliberately non-round ranges -> odd voxel counts per dim
+            span = rng.uniform(0.25, 0.6, 3)
+            rpd = np.stack([-span, span + rng.uniform(0, res, 3)], axis=1)
+            sdfs.append(pv.CachedSDF(f"s{trial}_{c}", res, rpd, gt,
+                                     cache_path=str(tmp_path / "c.npz")))
+            tf_rows.append(np.asarray(
+                pv.Transform3d(pos=rng.uniform(-0.3, 0.3, 3).astype(np.float32))
+                .get_matrix())[0])
+        B = 2
+        mats = np.stack([m for m in tf_rows for _ in range(B)])
+        comp = pv.ComposedSDF(sdfs, pv.Transform3d(matrix=jnp.asarray(mats)))
+        assert comp.tsf_batch == (B,)  # inferred link-major batch
+        qres = res / 2
+        qr = np.array([[-0.5, 0.45], [0.0, 0.0], [-0.45, 0.5]])
+        pts_c, take = pv.get_coherent_grid_points(qres, qr)
+        _, pts_g = pv.get_coordinates_and_points_in_grid(qres, qr)
+        assert comp.check_coherent_contract(pts_c), f"trial {trial}"
+        v_g, g_g = comp(pts_g)
+        v_c, g_c = comp.query_coherent(pts_c)
+        np.testing.assert_array_equal(np.asarray(v_c)[:, take], np.asarray(v_g),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(g_c)[:, take], np.asarray(g_g),
+                                      err_msg=f"trial {trial}")
