@@ -1,0 +1,88 @@
+"""Gradient-based trajectory optimization through a differentiable robot SDF.
+
+End-to-end showcase of the framework: a 7-DOF arm must move between two
+configurations while keeping clearance from an obstacle point cloud.  The
+whole pipeline — batched FK over every waypoint, per-link cached-SDF queries
+of the obstacle points, min-union, hinge clearance loss, smoothness prior —
+is one jitted XLA program, differentiated w.r.t. the full trajectory with
+`jax.grad` (analytic SDF gradients via custom_vjp; no finite differences).
+
+Run:  python examples/trajectory_optimization.py        (CPU or TPU, ~1 min)
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import pytorch_volumetric_tpu as pv
+from pytorch_volumetric_tpu.sdf import compose_query
+from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+
+def main():
+    # -- robot: procedural 7-DOF capsule arm with voxel-cached link SDFs -----
+    d = tempfile.mkdtemp(prefix="pvt_example_")
+    urdf_path, end_link = make_serial_arm(d, num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    robot = pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.03, padding=0.15,
+            cache_path=os.path.join(d, "cache.npz")))
+
+    # -- obstacle: a ball of points the arm must clear -----------------------
+    rng = np.random.default_rng(0)
+    center = np.array([0.35, 0.0, 0.7], dtype=np.float32)
+    obstacle = jnp.asarray(
+        center + 0.12 * rng.normal(size=(256, 3)).astype(np.float32))
+
+    # -- trajectory: T waypoints between fixed endpoints ---------------------
+    T, M = 24, 7
+    q_start = jnp.zeros(M)
+    q_goal = jnp.asarray([1.2, -0.6, 0.8, 0.9, -0.5, 0.4, 0.0])
+    alphas = jnp.linspace(0.0, 1.0, T)[:, None]
+    q_init = q_start * (1 - alphas) + q_goal * alphas  # straight line
+
+    children = tuple(s.raw_query for s in robot.sdf.sdfs)
+    margin = 0.08
+
+    def loss_fn(q_mid):
+        q = jnp.concatenate([q_start[None], q_mid, q_goal[None]])  # [T, M]
+        m, m_inv = robot._link_transforms(q)
+        # negative SDF = penetration; hinge at `margin` clearance
+        sdf_val, _ = compose_query(children, m, m_inv, T, obstacle)
+        clearance = jnp.sum(jnp.maximum(margin - sdf_val, 0.0) ** 2)
+        smooth = jnp.sum((q[1:] - q[:-1]) ** 2)
+        return 40.0 * clearance + smooth, jnp.min(sdf_val)
+
+    opt = optax.adam(3e-2)
+
+    @jax.jit
+    def step(q_mid, opt_state):
+        (loss, min_sdf), g = jax.value_and_grad(loss_fn, has_aux=True)(q_mid)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(q_mid, updates), opt_state, loss, min_sdf
+
+    q_mid = q_init[1:-1]
+    opt_state = opt.init(q_mid)
+    for it in range(120):
+        q_mid, opt_state, loss, min_sdf = step(q_mid, opt_state)
+        if it % 20 == 0 or it == 119:
+            print(f"iter {it:3d}  loss {float(loss):8.4f}  "
+                  f"min clearance {float(min_sdf):+.3f} m", file=sys.stderr)
+
+    final_min = float(min_sdf)
+    print(f"final min clearance along trajectory: {final_min:+.3f} m "
+          f"(target > 0, margin {margin})", file=sys.stderr)
+    assert final_min > 0.0, "trajectory still in collision"
+    print("ok")
+    return q_mid
+
+
+if __name__ == "__main__":
+    main()
