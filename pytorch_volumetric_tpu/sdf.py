@@ -831,7 +831,10 @@ class CachedSDF(ObjectFrameSDF):
     distance-to-AABB under-approximation (reference sdf.py:553-571).
 
     Additions over the reference: optional ``interpolation="trilinear"``
-    (smooth value/gradient instead of nearest-voxel staircase).
+    (smooth value/gradient instead of nearest-voxel staircase), and the
+    segmented brick-gather fast path for coherent sweeps (the brick tables
+    cost 8x the value grid in device memory and are built lazily on first
+    coherent query).
     """
 
     def __init__(self, object_name, resolution, range_per_dim,
