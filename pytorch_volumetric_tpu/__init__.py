@@ -9,8 +9,8 @@ model → SDF over batched joint configurations.
 
 from pytorch_volumetric_tpu.sdf import (
     SDFQuery, ObjectFactory, MeshObjectFactory, ObjectFrameSDF, SphereSDF,
-    MeshSDF, ComposedSDF, CachedSDF, OutOfBoundsStrategy, sample_mesh_points,
-    aabb_corners,
+    MeshSDF, NarrowBandMeshSDF, ComposedSDF, CachedSDF, OutOfBoundsStrategy,
+    sample_mesh_points, aabb_corners,
 )
 from pytorch_volumetric_tpu.voxel import (
     Voxels, VoxelGrid, VoxelSet, ExpandingVoxelGrid, GridView,

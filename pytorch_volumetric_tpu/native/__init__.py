@@ -58,6 +58,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_float]
+        lib.pvt_build_cell_table.restype = ctypes.c_int64
+        lib.pvt_build_cell_table.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
         lib.pvt_parse_obj.restype = ctypes.c_int
         lib.pvt_parse_obj.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
@@ -112,6 +119,41 @@ class NativeScene:
             wind.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_float(winding_beta))
         return dist, closest, fid, wind
+
+
+def build_cell_table(triangles: np.ndarray, lo: np.ndarray, res: np.ndarray,
+                     dims: np.ndarray, radius: np.ndarray,
+                     max_k: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-cell candidate triangle lists for narrow-band SDF grids.
+
+    ``radius [C]``: candidate radius per cell (< 0 skips the cell).  Returns
+    ``(ids [C, K] int32 with -1 padding, counts [C] int32)`` where ``K`` is
+    the max candidate count (capped at ``max_k``).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    tris = np.ascontiguousarray(triangles, dtype=np.float32)
+    lo = np.ascontiguousarray(lo, dtype=np.float32)
+    res = np.ascontiguousarray(res, dtype=np.float32)
+    dims = np.ascontiguousarray(dims, dtype=np.int32)
+    radius = np.ascontiguousarray(radius, dtype=np.float32)
+    C = int(np.prod(dims))
+    counts = np.zeros(C, dtype=np.int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    args = (tris.ctypes.data_as(f32p), len(tris), lo.ctypes.data_as(f32p),
+            res.ctypes.data_as(f32p), dims.ctypes.data_as(i32p),
+            radius.ctypes.data_as(f32p))
+    k = lib.pvt_build_cell_table(*args, None, 0,
+                                 counts.ctypes.data_as(i32p))
+    k = int(min(k, max_k))
+    if k == 0:
+        return np.full((C, 1), -1, dtype=np.int32), counts
+    ids = np.empty((C, k), dtype=np.int32)
+    lib.pvt_build_cell_table(*args, ids.ctypes.data_as(i32p), k,
+                             counts.ctypes.data_as(i32p))
+    return ids, np.minimum(counts, k)
 
 
 def parse_obj_native(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:

@@ -314,6 +314,66 @@ void pvt_closest_query(void* handle, const float* points, int64_t n,
   });
 }
 
+// Candidate-table build for narrow-band SDF grids: for every grid cell c
+// with radius[c] >= 0, collect the triangles whose AABB is within radius[c]
+// of the cell's box.  Two-pass from Python: K == 0 counts only; K > 0 fills
+// out_ids [C, K] (-1 padded, counts clamped to K).  Returns the max count.
+// tris: [F, 3, 3] f32; lo/res: [3]; dims: [3]; radius: [C] (< 0 -> skip).
+int64_t pvt_build_cell_table(const float* tris, int64_t F,
+                             const float* lo, const float* res,
+                             const int32_t* dims, const float* radius,
+                             int32_t* out_ids, int64_t K,
+                             int32_t* out_counts) {
+  const int64_t nx = dims[0], ny = dims[1], nz = dims[2];
+  const int64_t C = nx * ny * nz;
+  std::memset(out_counts, 0, C * sizeof(int32_t));
+  if (out_ids && K > 0)
+    for (int64_t i = 0; i < C * K; ++i) out_ids[i] = -1;
+  float rmax = 0.0f;
+  for (int64_t c = 0; c < C; ++c) rmax = std::max(rmax, radius[c]);
+  auto* counts = reinterpret_cast<std::atomic<int32_t>*>(out_counts);
+
+  parallel_for(F, [&](int64_t t0, int64_t t1) {
+    for (int64_t t = t0; t < t1; ++t) {
+      float tlo[3], thi[3];
+      for (int d = 0; d < 3; ++d) {
+        float a = tris[t * 9 + d], b = tris[t * 9 + 3 + d], c = tris[t * 9 + 6 + d];
+        tlo[d] = std::min(a, std::min(b, c));
+        thi[d] = std::max(a, std::max(b, c));
+      }
+      int64_t ilo[3], ihi[3];
+      for (int d = 0; d < 3; ++d) {
+        ilo[d] = std::max<int64_t>(
+            0, (int64_t)std::floor((tlo[d] - rmax - lo[d]) / res[d]));
+        ihi[d] = std::min<int64_t>(
+            dims[d] - 1, (int64_t)std::floor((thi[d] + rmax - lo[d]) / res[d]));
+      }
+      for (int64_t i = ilo[0]; i <= ihi[0]; ++i)
+        for (int64_t j = ilo[1]; j <= ihi[1]; ++j)
+          for (int64_t k = ilo[2]; k <= ihi[2]; ++k) {
+            int64_t c = (i * ny + j) * nz + k;
+            float r = radius[c];
+            if (r < 0.0f) continue;
+            float cl[3] = {lo[0] + i * res[0], lo[1] + j * res[1],
+                           lo[2] + k * res[2]};
+            float d2 = 0.0f;
+            for (int d = 0; d < 3; ++d) {
+              float ch = cl[d] + res[d];
+              float gap = std::max(0.0f, std::max(cl[d] - thi[d], tlo[d] - ch));
+              d2 += gap * gap;
+            }
+            if (d2 > r * r) continue;
+            int32_t slot = counts[c].fetch_add(1, std::memory_order_relaxed);
+            if (out_ids && K > 0 && slot < K) out_ids[c * K + slot] = (int32_t)t;
+          }
+    }
+  });
+  int64_t maxc = 0;
+  for (int64_t c = 0; c < C; ++c)
+    maxc = std::max<int64_t>(maxc, out_counts[c]);
+  return maxc;
+}
+
 // Fast OBJ vertex/face counting + parsing (see native.py for usage).
 // Returns 0 on success.  Two-pass: first call with null buffers to get counts.
 int pvt_parse_obj(const char* path, float* vertices, int64_t* num_vertices,

@@ -1,0 +1,293 @@
+"""Narrow-band mesh SDF: exact near the surface, voxel-accurate far field.
+
+The brute-force triangle sweep (``ops.point_triangle``) is compute-bound at
+``P x F`` pairs — fine at the reference's mesh scale (~16K faces) but ~50x
+slower than a CPU BVH on million-triangle meshes.  BVH traversal itself does
+not map to the TPU, so this module takes the TPU-shaped route:
+
+- **Build (host, native C++):** a regular cell grid over the padded mesh
+  AABB.  Cells whose center is within ``band`` of the surface get a packed
+  candidate list: every triangle within ``d(center) + half_diag`` of the
+  cell box (complete by the 1-Lipschitz property: the closest triangle of
+  ANY point in the cell is in that set).  Per-cell signed distance and
+  gradient at the center come from the native BVH.  Cells whose candidate
+  count exceeds ``max_k`` are demoted to the far-field approximation (with a
+  warning) rather than silently truncated.
+- **Query (device):** one row gather of the cell's packed candidates
+  ``[K, 10]`` (9 corner floats + face id), a dense ``[P, K]`` closest-point
+  cascade on the VPU, then one winner-row gather from the global
+  pseudonormal table ``[F, 21]`` for the sign (angle-weighted pseudonormal
+  of the closest feature, Baerentzen & Aanaes — exact for watertight
+  manifold meshes).  Far-field points use the cell center's value with a
+  first-order gradient correction; outside the grid, the AABB
+  under-approximation (same convention as ``CachedSDF``).
+
+Wide gather rows are nearly free on TPU (gathers are issue-rate bound, ~5.7
+ns/row regardless of width), so the per-point cost is two rows + ``K`` VPU
+point-triangle evaluations instead of ``F``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_volumetric_tpu.mesh import PAD_COORD, TriangleMesh
+
+logger = logging.getLogger(__name__)
+
+
+class NarrowBandTables(NamedTuple):
+    lo: jnp.ndarray       # [3] grid origin
+    res: jnp.ndarray      # [3] cell size
+    dims: jnp.ndarray     # [3] int32 cell counts
+    strides: jnp.ndarray  # [3] int32
+    meta: jnp.ndarray     # [C, 5]: signed val, grad xyz, slot (-1 = far)
+    cand: jnp.ndarray     # [S, K, 10]: corners 9 | face id (as f32)
+    pseudo: jnp.ndarray   # [F, 21]: n_face 3 | n_vert 9 | n_edge 9
+    bb: jnp.ndarray       # [3, 2] surface AABB (out-of-grid fallback)
+
+
+def build_narrow_band_tables(m: TriangleMesh, cell_res: float, band: float,
+                             padding: float = 0.1,
+                             max_k: int = 256) -> NarrowBandTables:
+    """Host-side build using the native BVH runtime (raises if unavailable)."""
+    from pytorch_volumetric_tpu import native
+
+    if not native.available():
+        raise RuntimeError("narrow-band build requires the native runtime")
+    tris = m.triangles().astype(np.float32)
+    aabb = m.aabb()
+    lo = aabb[:, 0] - padding
+    hi = aabb[:, 1] + padding
+    dims = np.maximum(np.ceil((hi - lo) / cell_res).astype(np.int64), 1)
+    res = (hi - lo) / dims
+    C = int(np.prod(dims))
+    half_diag = 0.5 * float(np.linalg.norm(res))
+
+    # signed value + gradient at every cell center (native BVH)
+    ii = np.stack(np.meshgrid(*[np.arange(d) for d in dims], indexing="ij"),
+                  axis=-1).reshape(-1, 3)
+    centers = (lo + (ii + 0.5) * res).astype(np.float32)
+    scene = native.NativeScene(tris)
+    dist, closest, _, wind = scene.closest_query(centers)
+    # |winding|: orientation-independent inside test (reference ray parity)
+    inside = np.abs(wind) > 0.5
+    sign = np.where(inside, -1.0, 1.0).astype(np.float32)
+    val = sign * dist
+    direction = centers - closest
+    direction /= np.maximum(np.linalg.norm(direction, axis=-1, keepdims=True),
+                            1e-12)
+    grad = sign[:, None] * direction
+
+    band_mask = dist <= band
+    radius = np.where(band_mask, dist + half_diag + 1e-5, -1.0).astype(np.float32)
+    ids, counts = native.build_cell_table(tris, lo, res, dims, radius,
+                                          max_k=max_k)
+    K = ids.shape[1]
+    overflow = counts >= max_k
+    if overflow.any():
+        # a truncated candidate list could MISS the true closest triangle;
+        # demote those cells to the (bounded-error) far-field path instead
+        logger.warning(
+            "narrow-band: %d cells exceed max_k=%d candidates and fall back "
+            "to the far-field approximation; increase max_k or shrink the "
+            "band/cell size for full exactness", int(overflow.sum()), max_k)
+        band_mask = band_mask & ~overflow
+
+    slots = np.full(C, -1, dtype=np.int32)
+    band_cells = np.nonzero(band_mask)[0]
+    slots[band_cells] = np.arange(len(band_cells), dtype=np.int32)
+    S = max(len(band_cells), 1)
+
+    ids_b = (ids[band_cells] if len(band_cells)
+             else np.full((1, K), -1, dtype=np.int32))
+    flat = ids_b.reshape(-1)
+    safe = np.maximum(flat, 0)
+    packed = np.empty((len(flat), 10), dtype=np.float32)
+    packed[:, :9] = tris.reshape(-1, 9)[safe]
+    packed[:, 9] = safe.astype(np.float32)
+    invalid = flat < 0
+    packed[invalid, :9] = PAD_COORD
+    packed[invalid, 9] = 0.0
+    cand = packed.reshape(S, K, 10)
+
+    n_vert, n_edge, n_face = m.pseudonormals()
+    if m.signed_volume() < 0.0:
+        # inverted orientation: pseudonormals point inward; flip so the
+        # inside test matches the parity convention above
+        logger.warning("mesh winds inward (signed volume < 0); flipping "
+                       "pseudonormals for the sign test")
+        n_vert, n_edge, n_face = -n_vert, -n_edge, -n_face
+    pseudo = np.concatenate([
+        n_face.astype(np.float32),
+        n_vert.reshape(-1, 9).astype(np.float32),
+        n_edge.reshape(-1, 9).astype(np.float32)], axis=1)
+
+    meta = np.concatenate([val[:, None], grad,
+                           slots[:, None].astype(np.float32)], axis=1)
+    strides = np.array([dims[1] * dims[2], dims[2], 1], dtype=np.int64)
+    logger.info("narrow-band tables: %d cells (%d band, K=%d, %.1f MB)",
+                C, len(band_cells), K, cand.nbytes / 1e6)
+    return NarrowBandTables(
+        lo=jnp.asarray(lo, dtype=jnp.float32),
+        res=jnp.asarray(res, dtype=jnp.float32),
+        dims=jnp.asarray(dims, dtype=jnp.int32),
+        strides=jnp.asarray(strides, dtype=jnp.int32),
+        meta=jnp.asarray(meta), cand=jnp.asarray(cand),
+        pseudo=jnp.asarray(pseudo),
+        bb=jnp.asarray(aabb, dtype=jnp.float32))
+
+
+def _candidate_query(p: jnp.ndarray, rows: jnp.ndarray, pseudo: jnp.ndarray,
+                     surface_normal_eps: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Signed distance + gradient of each point against its candidate row.
+
+    ``p [P, 3]``, ``rows [P, K, 10]``, ``pseudo [F, 21]`` ->
+    ``(val [P], grad [P, 3])``.  Same closest-point cascade as
+    ``ops.point_triangle._closest_point_bary`` but carrying the closest
+    feature id; the winner's pseudonormal row supplies the sign.
+    """
+    a = rows[..., 0:3]
+    b = rows[..., 3:6]
+    c = rows[..., 6:9]
+
+    pk = p[:, None, :]
+    ab = b - a
+    ac = c - a
+    ap = pk - a
+    d1 = jnp.sum(ab * ap, axis=-1)
+    d2 = jnp.sum(ac * ap, axis=-1)
+    bp = ap - ab
+    d3 = jnp.sum(ab * bp, axis=-1)
+    d4 = jnp.sum(ac * bp, axis=-1)
+    cp = ap - ac
+    d5 = jnp.sum(ab * cp, axis=-1)
+    d6 = jnp.sum(ac * cp, axis=-1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    def safe_div(num, den):
+        return num / jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
+
+    denom = va + vb + vc
+    v = safe_div(vb, denom)
+    w = safe_div(vc, denom)
+    v_ab = safe_div(d1, d1 - d3)
+    w_ac = safe_div(d2, d2 - d6)
+    w_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    # feature codes index the pseudonormal row: 0 face, 1..3 vertex A/B/C,
+    # 4..6 edge AB/BC/CA — same priority cascade as v/w so they agree
+    feat = jnp.zeros(va.shape, dtype=jnp.int32)
+    v, w, feat = (jnp.where(on_bc, 1.0 - w_bc, v), jnp.where(on_bc, w_bc, w),
+                  jnp.where(on_bc, 5, feat))
+    v, w, feat = (jnp.where(on_ac, 0.0, v), jnp.where(on_ac, w_ac, w),
+                  jnp.where(on_ac, 6, feat))
+    v, w, feat = (jnp.where(on_ab, v_ab, v), jnp.where(on_ab, 0.0, w),
+                  jnp.where(on_ab, 4, feat))
+    v, w, feat = (jnp.where(in_c, 0.0, v), jnp.where(in_c, 1.0, w),
+                  jnp.where(in_c, 3, feat))
+    v, w, feat = (jnp.where(in_b, 1.0, v), jnp.where(in_b, 0.0, w),
+                  jnp.where(in_b, 2, feat))
+    v, w, feat = (jnp.where(in_a, 0.0, v), jnp.where(in_a, 0.0, w),
+                  jnp.where(in_a, 1, feat))
+
+    q = a + v[..., None] * ab + w[..., None] * ac
+    diff = pk - q
+    dist2 = jnp.sum(diff * diff, axis=-1)          # [P, K]
+
+    kbest = jnp.argmin(dist2, axis=-1)
+    oh = (jnp.arange(rows.shape[1]) == kbest[:, None]).astype(p.dtype)
+    d = jnp.sqrt(jnp.sum(oh * dist2, axis=-1))
+    qw = jnp.sum(oh[..., None] * q, axis=1)        # winning closest point
+    fid = jnp.sum(oh * rows[..., 9], axis=-1).astype(jnp.int32)
+    featw = jnp.sum(oh * feat.astype(p.dtype), axis=-1).astype(jnp.int32)
+
+    # winner pseudonormal: one row gather + 7-way feature select
+    prow = pseudo[fid].reshape(p.shape[0], 7, 3)   # face, vA..vC, eAB/eBC/eCA
+    # feature -> row index: 0 face -> 0; 1..3 vertex -> 1..3; 4..6 edge -> 4..6
+    fsel = (jnp.arange(7) == featw[:, None]).astype(p.dtype)
+    nw = jnp.sum(fsel[..., None] * prow, axis=1)
+
+    to_p = p - qw
+    inside = jnp.sum(to_p * nw, axis=-1) < 0.0
+    sgn = jnp.where(inside, -1.0, 1.0)
+    val = sgn * d
+    grad = sgn[..., None] * to_p / jnp.maximum(d, 1e-12)[..., None]
+    # at the surface the direction is degenerate: use the pseudonormal
+    # (reference near-surface face-normal override, sdf.py:159-164)
+    near = d < surface_normal_eps
+    nw_unit = nw / jnp.maximum(jnp.linalg.norm(nw, axis=-1, keepdims=True),
+                               1e-12)
+    grad = jnp.where(near[..., None], nw_unit, grad)
+    return val, grad
+
+
+def narrow_band_query(tables: NarrowBandTables, points: jnp.ndarray,
+                      surface_normal_eps: float = 1e-3
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure traceable query: ``points [P, 3] -> (val [P], grad [P, 3])``."""
+    p = points
+    f = (p - tables.lo) / tables.res
+    k = jnp.floor(f).astype(jnp.int32)
+    in_grid = jnp.all((k >= 0) & (k < tables.dims), axis=-1)
+    kc = jnp.clip(k, 0, tables.dims - 1)
+    cidx = jnp.sum(kc * tables.strides, axis=-1)
+    meta = tables.meta[cidx]                       # [P, 5]
+    center = tables.lo + (kc.astype(p.dtype) + 0.5) * tables.res
+    far_grad = meta[:, 1:4]
+    far_val = meta[:, 0] + jnp.sum(far_grad * (p - center), axis=-1)
+    slot = meta[:, 4].astype(jnp.int32)
+    in_band = slot >= 0
+    rows = tables.cand[jnp.clip(slot, 0)]          # [P, K, 10]
+    exact_val, exact_grad = _candidate_query(p, rows, tables.pseudo,
+                                             surface_normal_eps)
+    val = jnp.where(in_band, exact_val, far_val)
+    grad = jnp.where(in_band[..., None], exact_grad, far_grad)
+    # outside the padded grid: AABB under-approximation (CachedSDF semantics)
+    dmin = jnp.maximum(tables.bb[:, 0] - p, 0.0)
+    dmax = jnp.maximum(p - tables.bb[:, 1], 0.0)
+    dtotal = dmax - dmin
+    oob_val = jnp.linalg.norm(dtotal, axis=-1)
+    oob_grad = dtotal / jnp.maximum(oob_val, 1e-12)[..., None]
+    val = jnp.where(in_grid, val, oob_val)
+    grad = jnp.where(in_grid[..., None], grad, oob_grad)
+    return val, grad
+
+
+@jax.custom_vjp
+def straight_through_query(tables: NarrowBandTables, points: jnp.ndarray,
+                           surface_normal_eps: jnp.ndarray):
+    """``narrow_band_query`` with the straight-through VJP (d val / d points
+    = the analytic gradient).  Tables are an explicit argument so jitting
+    this does NOT capture gigabytes of candidate data as compile-time
+    constants; their cotangent is symbolic zeros (DCE'd by XLA)."""
+    return narrow_band_query(tables, points, surface_normal_eps)
+
+
+def _st_fwd(tables, points, surface_normal_eps):
+    val, grad = narrow_band_query(tables, points, surface_normal_eps)
+    return (val, grad), (grad, tables)
+
+
+def _st_bwd(res, cotangents):
+    grad, tables = res
+    ct_val = cotangents[0]
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, tables)
+    return (zeros, ct_val[..., None] * grad, jnp.zeros((), dtype=jnp.float32))
+
+
+straight_through_query.defvjp(_st_fwd, _st_bwd)

@@ -210,7 +210,9 @@ def signed_closest_query(points: jnp.ndarray, tri: jnp.ndarray,
     else:
         dist, closest, fid, wind = mesh_closest_query(
             points, tri, point_chunk=point_chunk, tri_chunk=tri_chunk)
-    inside = wind > winding_threshold
+    # |winding|: orientation-independent, like the reference's ray parity
+    # (an inverted mesh has winding -1 inside; parity treats it as inside too)
+    inside = jnp.abs(wind) > winding_threshold
     sign = jnp.where(inside, -1.0, 1.0).astype(points.dtype)
     sdf = sign * dist
     away = points - closest

@@ -467,6 +467,64 @@ def compose_query(child_raw_queries: Tuple[Callable, ...],
     return best_v, best_g
 
 
+class NarrowBandMeshSDF(ObjectFrameSDF):
+    """Large-mesh SDF: exact within ``band`` of the surface via per-cell
+    candidate lists, first-order-corrected voxel far field beyond it
+    (``ops.narrow_band``).
+
+    The brute-force sweep behind :class:`MeshSDF` is compute-bound at
+    ``points x faces`` pairs; this drops the per-point cost to one wide
+    gather + ``K`` candidate evaluations, independent of the face count —
+    the TPU answer to the reference's Open3D BVH on million-triangle meshes.
+    Signs come from angle-weighted pseudonormals (exact for watertight
+    manifold meshes; use :class:`MeshSDF`'s winding numbers for soups).
+    Requires the native host runtime for the build.
+
+    :param band: half-width of the exact shell around the surface.  Defaults
+        to ``4 * cell_res``.
+    :param cell_res: cell size; defaults to ``aabb diagonal / 96``.
+    :param padding: grid margin beyond the mesh AABB; queries outside the
+        grid fall back to the AABB distance under-approximation.
+    """
+
+    def __init__(self, obj_factory: ObjectFactory, cell_res: Optional[float] = None,
+                 band: Optional[float] = None, padding: float = 0.1,
+                 max_k: int = 256):
+        from pytorch_volumetric_tpu.ops.narrow_band import (
+            build_narrow_band_tables)
+
+        self.obj_factory = obj_factory
+        obj_factory.precompute_sdf()
+        m = obj_factory._mesh
+        if cell_res is None:
+            aabb = m.aabb()
+            cell_res = float(np.linalg.norm(aabb[:, 1] - aabb[:, 0])) / 96.0
+        if band is None:
+            band = 4.0 * cell_res
+        self.cell_res = cell_res
+        self.band = band
+        self.tables = build_narrow_band_tables(m, cell_res, band,
+                                               padding=padding, max_k=max_k)
+        self._eps = jnp.float32(obj_factory.surface_normal_eps)
+
+    def raw_query(self, points):
+        from pytorch_volumetric_tpu.ops.narrow_band import (
+            straight_through_query)
+        return straight_through_query(self.tables, points, self._eps)
+
+    def _jitted(self):
+        # jit with the (potentially multi-GB) tables as arguments, not as
+        # captured compile-time constants
+        from pytorch_volumetric_tpu.ops.narrow_band import (
+            straight_through_query)
+        if self._jit_cache is None:
+            self._jit_cache = jax.jit(straight_through_query)
+        return lambda pts: self._jit_cache(self.tables, pts, self._eps)
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        return jnp.asarray(self.obj_factory.bounding_box(padding, padding_ratio))
+
+
 # -- coherent (segmented brick-gather) union query ---------------------------
 #
 # XLA gathers on TPU are issue-rate bound (~170M rows/s measured on v5e,
