@@ -27,7 +27,8 @@ from pytorch_volumetric_tpu.chamfer import (
     pairwise_distance, pairwise_distance_chamfer,
 )
 from pytorch_volumetric_tpu.model_to_sdf import (
-    RobotSDF, cache_link_sdf_factory, aabb_to_ordered_end_points,
+    RobotSDF, cache_link_sdf_factory, narrow_band_link_sdf_factory,
+    aabb_to_ordered_end_points,
 )
 from pytorch_volumetric_tpu.kinematics import (
     Chain, SerialChain, build_chain_from_urdf, build_serial_chain_from_urdf,

@@ -234,6 +234,18 @@ def cache_link_sdf_factory(resolution=0.01, padding=0.1, **kwargs):
     return create_sdf
 
 
+def narrow_band_link_sdf_factory(cell_res=None, band=None, padding=0.1,
+                                 max_k=256, **kwargs):
+    """Closure producing a :class:`sdf.NarrowBandMeshSDF` per link — the
+    large-mesh analog of :func:`cache_link_sdf_factory` (exact near the
+    surface, O(candidates) per query instead of O(faces))."""
+    def create_sdf(obj_factory: sdf.ObjectFactory):
+        return sdf.NarrowBandMeshSDF(obj_factory, cell_res=cell_res, band=band,
+                                     padding=padding, max_k=max_k, **kwargs)
+
+    return create_sdf
+
+
 def aabb_to_ordered_end_points(aabb, arrange_in_sequential_order=False):
     """AABB [3, 2] -> 8 corners (or a 16-point sequential drawing order)
     (reference model_to_sdf.py:136-171)."""

@@ -103,3 +103,26 @@ def test_differentiable(sdfs, rng):
     _, grads = nb(pts)
     np.testing.assert_allclose(np.asarray(g), np.asarray(grads).sum(0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_robot_with_narrow_band_links(tmp_path, rng):
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    d = str(tmp_path / "arm")
+    urdf_path, end_link = make_serial_arm(d, num_joints=3, segments=10, rings=3)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    exact = pv.RobotSDF(chain, path_prefix=d)  # MeshSDF links
+    nb = pv.RobotSDF(chain, path_prefix=d,
+                     link_sdf_cls=pv.narrow_band_link_sdf_factory(
+                         cell_res=0.015, band=0.06, padding=0.1))
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (256, 3)).astype(np.float32))
+    v_ex, g_ex = exact.query(q, pts)
+    v_nb, g_nb = nb.query(q, pts)
+    # near-surface values exact; elsewhere first-order far field / AABB
+    near = np.abs(np.asarray(v_ex)) < 0.02
+    np.testing.assert_allclose(np.asarray(v_nb)[near], np.asarray(v_ex)[near],
+                               atol=1e-4)
+    # min-union never overestimates by more than the far-field error and the
+    # AABB fallback only underestimates
+    assert np.all(np.asarray(v_nb) <= np.asarray(v_ex) + 0.01)
