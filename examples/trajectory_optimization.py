@@ -76,7 +76,8 @@ def main():
             print(f"iter {it:3d}  loss {float(loss):8.4f}  "
                   f"min clearance {float(min_sdf):+.3f} m", file=sys.stderr)
 
-    final_min = float(min_sdf)
+    # re-evaluate at the FINAL iterate (step reports the pre-update value)
+    final_min = float(jax.jit(loss_fn)(q_mid)[1])
     print(f"final min clearance along trajectory: {final_min:+.3f} m "
           f"(target > 0, margin {margin})", file=sys.stderr)
     assert final_min > 0.0, "trajectory still in collision"

@@ -487,8 +487,23 @@ def build_serial_chain_from_sdf(data: str, end_link_name: str,
 _MJCF_JOINT_TYPES = {"hinge": "revolute", "slide": "prismatic"}
 
 
+def _rotation_z_to(d: np.ndarray) -> np.ndarray:
+    """Shortest-arc rotation taking +z to the unit vector ``d`` (MuJoCo's
+    zaxis / fromto convention)."""
+    z = np.array([0.0, 0.0, 1.0])
+    c = float(np.dot(z, d))
+    if c < -1.0 + 1e-9:  # antiparallel: rotate pi about x
+        return np.diag([1.0, -1.0, -1.0])
+    axis = np.cross(z, d)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + K + K @ K / (1.0 + c)
+
+
 def _mjcf_body_matrix(elem, degrees: bool) -> np.ndarray:
-    """Body/geom/joint frame from MJCF pos + (quat | euler) attributes."""
+    """Body/geom/joint frame from MJCF pos + orientation attributes
+    (quat | euler | axisangle | xyaxes | zaxis)."""
     m = np.eye(4)
     if elem.get("pos"):
         m[:3, 3] = np.fromstring(elem.get("pos"), sep=" ")
@@ -500,14 +515,42 @@ def _mjcf_body_matrix(elem, degrees: bool) -> np.ndarray:
         if degrees:
             e = np.deg2rad(e)
         m[:3, :3] = np.asarray(tfm.euler_angles_to_matrix(jnp.asarray(e), "XYZ"))
+    elif elem.get("axisangle"):
+        v = np.fromstring(elem.get("axisangle"), sep=" ")
+        axis = v[:3] / max(np.linalg.norm(v[:3]), 1e-30)
+        ang = np.deg2rad(v[3]) if degrees else v[3]
+        m[:3, :3] = np.asarray(tfm.axis_angle_to_matrix(
+            jnp.asarray(axis, dtype=jnp.float64),
+            jnp.asarray(float(ang))))
+    elif elem.get("xyaxes"):
+        v = np.fromstring(elem.get("xyaxes"), sep=" ")
+        x = v[:3] / max(np.linalg.norm(v[:3]), 1e-30)
+        y = v[3:6] - np.dot(x, v[3:6]) * x
+        y /= max(np.linalg.norm(y), 1e-30)
+        m[:3, :3] = np.stack([x, y, np.cross(x, y)], axis=1)
+    elif elem.get("zaxis"):
+        v = np.fromstring(elem.get("zaxis"), sep=" ")
+        m[:3, :3] = _rotation_z_to(v / max(np.linalg.norm(v), 1e-30))
     return m
 
 
 def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool):
     """MJCF <geom> -> Visual, translating MuJoCo's half-size conventions to
-    the URDF-style full sizes the rest of the library uses."""
+    the URDF-style full sizes the rest of the library uses.  Supports the
+    ``fromto`` segment idiom for capsules/cylinders (pos/orientation derived
+    from the segment; ``size`` is just the radius there)."""
     gtype = geom.get("type", "sphere")
     size = np.fromstring(geom.get("size", "0"), sep=" ")
+    if geom.get("fromto") and gtype in ("capsule", "cylinder"):
+        ft = np.fromstring(geom.get("fromto"), sep=" ")
+        p1, p2 = ft[:3], ft[3:6]
+        seg = p2 - p1
+        length = float(np.linalg.norm(seg))
+        offset = np.eye(4)
+        offset[:3, 3] = 0.5 * (p1 + p2)
+        if length > 1e-12:
+            offset[:3, :3] = _rotation_z_to(seg / length)
+        return Visual(gtype, (float(size[0]), length), offset)
     offset = _mjcf_body_matrix(geom, degrees)
     if gtype == "mesh":
         name = geom.get("mesh")

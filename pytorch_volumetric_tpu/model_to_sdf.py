@@ -182,6 +182,29 @@ class RobotSDF(sdf.ObjectFrameSDF):
         coords, _ = get_coordinates_and_points_in_grid(
             resolution, query_range, get_points=False)
         grid_shape = tuple(len(c) for c in coords)
+
+        # coherence contract: a collinear 4-point segment spans 3*resolution,
+        # which must be <= 1.5x every fast child's voxel resolution.  When a
+        # cached link is too fine, fall back to the generic per-point path —
+        # the brick path would silently return wrong values.
+        min_cache_res = min(
+            (float(np.min(s.resolution) if np.ndim(s.resolution) else
+                   s.resolution)
+             for s in self.sdf.sdfs if isinstance(s, sdf.CachedSDF)),
+            default=np.inf)
+        if 2.0 * resolution > min_cache_res:
+            logger.info(
+                "query_grid: sweep resolution %.4g too coarse for cached "
+                "link resolution %.4g (needs <= half); using the generic "
+                "query path", resolution, min_cache_res)
+            _, pts_g = get_coordinates_and_points_in_grid(resolution,
+                                                          query_range)
+            q = as_float_array(joint_config)
+            q_batch = q.shape[:-1]
+            vv, gg = self.query(joint_config, pts_g)
+            return (vv.reshape(q_batch + grid_shape),
+                    gg.reshape(q_batch + grid_shape + (3,)))
+
         pts, take_idx = get_coherent_grid_points(resolution, query_range)
 
         q = as_float_array(joint_config)

@@ -152,62 +152,13 @@ def _candidate_query(p: jnp.ndarray, rows: jnp.ndarray, pseudo: jnp.ndarray,
     ``ops.point_triangle._closest_point_bary`` but carrying the closest
     feature id; the winner's pseudonormal row supplies the sign.
     """
+    from pytorch_volumetric_tpu.ops.point_triangle import _closest_point_bary
+
     a = rows[..., 0:3]
     b = rows[..., 3:6]
     c = rows[..., 6:9]
-
-    pk = p[:, None, :]
-    ab = b - a
-    ac = c - a
-    ap = pk - a
-    d1 = jnp.sum(ab * ap, axis=-1)
-    d2 = jnp.sum(ac * ap, axis=-1)
-    bp = ap - ab
-    d3 = jnp.sum(ab * bp, axis=-1)
-    d4 = jnp.sum(ac * bp, axis=-1)
-    cp = ap - ac
-    d5 = jnp.sum(ab * cp, axis=-1)
-    d6 = jnp.sum(ac * cp, axis=-1)
-    va = d3 * d6 - d5 * d4
-    vb = d5 * d2 - d1 * d6
-    vc = d1 * d4 - d3 * d2
-
-    def safe_div(num, den):
-        return num / jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
-
-    denom = va + vb + vc
-    v = safe_div(vb, denom)
-    w = safe_div(vc, denom)
-    v_ab = safe_div(d1, d1 - d3)
-    w_ac = safe_div(d2, d2 - d6)
-    w_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
-
-    in_a = (d1 <= 0) & (d2 <= 0)
-    in_b = (d3 >= 0) & (d4 <= d3)
-    in_c = (d6 >= 0) & (d5 <= d6)
-    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
-    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
-
-    # feature codes index the pseudonormal row: 0 face, 1..3 vertex A/B/C,
-    # 4..6 edge AB/BC/CA — same priority cascade as v/w so they agree
-    feat = jnp.zeros(va.shape, dtype=jnp.int32)
-    v, w, feat = (jnp.where(on_bc, 1.0 - w_bc, v), jnp.where(on_bc, w_bc, w),
-                  jnp.where(on_bc, 5, feat))
-    v, w, feat = (jnp.where(on_ac, 0.0, v), jnp.where(on_ac, w_ac, w),
-                  jnp.where(on_ac, 6, feat))
-    v, w, feat = (jnp.where(on_ab, v_ab, v), jnp.where(on_ab, 0.0, w),
-                  jnp.where(on_ab, 4, feat))
-    v, w, feat = (jnp.where(in_c, 0.0, v), jnp.where(in_c, 1.0, w),
-                  jnp.where(in_c, 3, feat))
-    v, w, feat = (jnp.where(in_b, 1.0, v), jnp.where(in_b, 0.0, w),
-                  jnp.where(in_b, 2, feat))
-    v, w, feat = (jnp.where(in_a, 0.0, v), jnp.where(in_a, 0.0, w),
-                  jnp.where(in_a, 1, feat))
-
-    q = a + v[..., None] * ab + w[..., None] * ac
-    diff = pk - q
-    dist2 = jnp.sum(diff * diff, axis=-1)          # [P, K]
+    dist2, q, feat = _closest_point_bary(p[:, None, :], a, b - a, c - a,
+                                         with_features=True)  # [P, K]
 
     kbest = jnp.argmin(dist2, axis=-1)
     oh = (jnp.arange(rows.shape[1]) == kbest[:, None]).astype(p.dtype)

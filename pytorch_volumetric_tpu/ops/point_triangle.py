@@ -32,10 +32,13 @@ _FOUR_PI = 12.566370614359172
 
 
 def _closest_point_bary(p: jnp.ndarray, a: jnp.ndarray, ab: jnp.ndarray,
-                        ac: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        ac: jnp.ndarray, with_features: bool = False):
     """Closest point on each triangle for each point (Ericson RTCD §5.1.5,
-    branch-free).  ``p``: [P, 1, 3]; ``a, ab, ac``: [1, T, 3].
-    Returns (dist2 [P, T], closest [P, T, 3])."""
+    branch-free).  ``p``: [P, 1, 3]; ``a, ab, ac``: [1-or-P, T, 3]
+    (broadcast).  Returns (dist2 [P, T], closest [P, T, 3]); with
+    ``with_features`` also the closest-feature code [P, T] int32 (0 face,
+    1..3 vertex A/B/C, 4..6 edge AB/BC/CA — the pseudonormal row layout used
+    by ops.narrow_band)."""
     ap = p - a
     d1 = jnp.sum(ab * ap, axis=-1)
     d2 = jnp.sum(ac * ap, axis=-1)
@@ -83,7 +86,16 @@ def _closest_point_bary(p: jnp.ndarray, a: jnp.ndarray, ab: jnp.ndarray,
     closest = a + v[..., None] * ab + w[..., None] * ac
     diff = closest - p
     dist2 = jnp.sum(diff * diff, axis=-1)
-    return dist2, closest
+    if not with_features:
+        return dist2, closest
+    feat = jnp.zeros(dist2.shape, dtype=jnp.int32)
+    feat = jnp.where(on_bc, 5, feat)
+    feat = jnp.where(on_ac, 6, feat)
+    feat = jnp.where(on_ab, 4, feat)
+    feat = jnp.where(in_c, 3, feat)
+    feat = jnp.where(in_b, 2, feat)
+    feat = jnp.where(in_a, 1, feat)
+    return dist2, closest, feat
 
 
 def _winding_contrib(p: jnp.ndarray, va: jnp.ndarray, vb: jnp.ndarray,

@@ -508,6 +508,10 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
         self._eps = jnp.float32(obj_factory.surface_normal_eps)
 
     def raw_query(self, points):
+        # NOTE: when traced inside an external jit (e.g. a ComposedSDF
+        # union), the tables become captured constants of that program; use
+        # moderate max_k / cell counts for union links, or query standalone
+        # (__call__ passes the tables as arguments)
         from pytorch_volumetric_tpu.ops.narrow_band import (
             straight_through_query)
         return straight_through_query(self.tables, points, self._eps)
@@ -542,6 +546,10 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 
 COHERENT_SEG = 4
 
+# concatenated winner-gradient tables per child-set (see
+# _coherent_union_lookup); holding the child arrays pins their ids
+_VG_CAT_CACHE: dict = {}
+
 
 class _CoherentTables(NamedTuple):
     lo: jnp.ndarray        # [3] grid origin
@@ -563,9 +571,17 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
     for the straight-through VJP)."""
     C = len(tables)
     # concrete even when this closure is (re)built inside a jit/grad trace:
-    # a traced constant here would fail lowering under grad-of-jit
+    # a traced constant here would fail lowering under grad-of-jit.  The
+    # concatenated winner table is cached per child-set so retraces (new
+    # shapes, new jits) don't materialize fresh multi-MB copies.
     with jax.ensure_compile_time_eval():
-        vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+        key = tuple(id(t.vg) for t in tables)
+        hit = _VG_CAT_CACHE.get(key)
+        if hit is None:
+            hit = (tuple(t.vg for t in tables),  # pin ids against GC reuse
+                   jnp.concatenate([t.vg for t in tables], axis=0))
+            _VG_CAT_CACHE[key] = hit
+        vg_cat = hit[1]
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
         child_iota = jnp.arange(C, dtype=jnp.int32)
@@ -808,8 +824,11 @@ class ComposedSDF(ObjectFrameSDF):
         vv, gg = self._coherent_jit(pts, self.obj_frame_to_link_frame.get_matrix(),
                                     self.link_frame_to_obj_frame)
         if self.tsf_batch is None:
-            vv, gg = vv[0], gg[0]
-        return vv, gg
+            return vv[0], gg[0]
+        # restore multi-dim configuration batches like __call__ does
+        F = pts.shape[0]
+        return (vv.reshape(self.tsf_batch + (F,)),
+                gg.reshape(self.tsf_batch + (F, pts.shape[-1])))
 
     def surface_bounding_box(self, **kwargs):
         """Batched AABB of the union: per-child AABB corners transformed into
@@ -959,6 +978,7 @@ class CachedSDF(ObjectFrameSDF):
         # than separate value + gradient gathers
         vg = jnp.concatenate(
             [self.voxels.raw_data.reshape(-1, 1), self.voxels_grad], axis=1)
+        self._vg = vg  # shared with the coherent-path tables (one HBM copy)
         bb = self.bb
         strategy = self.out_of_bounds_strategy
         gt_raw = self.gt_sdf.raw_query if self.gt_sdf is not None else None
@@ -1049,8 +1069,11 @@ class CachedSDF(ObjectFrameSDF):
         bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
         with jax.ensure_compile_time_eval():
             bricks = jnp.asarray(np.stack(parts, axis=-1).reshape(-1, 64))
-            vg = jnp.asarray(np.concatenate(
-                [val.reshape(-1, 1), np.asarray(self.voxels_grad)], axis=1))
+            # reuse the packed rows _build_raw already holds (one HBM copy)
+            vg = getattr(self, "_vg", None)
+            if vg is None:
+                vg = jnp.asarray(np.concatenate(
+                    [val.reshape(-1, 1), np.asarray(self.voxels_grad)], axis=1))
             self._coherent_cache = _CoherentTables(
                 lo=jnp.asarray(self.voxels.lo, dtype=jnp.float32),
                 res=jnp.asarray(self.voxels.res, dtype=jnp.float32),

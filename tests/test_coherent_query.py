@@ -167,3 +167,28 @@ def test_coherent_fuzz_random_geometry(tmp_path):
                                       err_msg=f"trial {trial}")
         np.testing.assert_array_equal(np.asarray(g_c)[:, take], np.asarray(g_g),
                                       err_msg=f"trial {trial}")
+
+
+def test_query_grid_falls_back_when_incoherent(robot):
+    # sweep resolution equal to the cache resolution violates the brick
+    # contract; query_grid must take the generic path and stay correct
+    q = _configs()
+    query_range = np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]])
+    v, g = robot.query_grid(q, query_range, 0.04)  # == cache res 0.04
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.04, query_range)
+    v_ref, g_ref = robot.query(q, pts_g)
+    np.testing.assert_array_equal(np.asarray(v).reshape(3, -1),
+                                  np.asarray(v_ref))
+
+
+def test_query_coherent_multidim_batch(robot):
+    rng2 = np.random.default_rng(1)
+    q = jnp.asarray(rng2.uniform(-1, 1, (2, 2, 3)).astype(np.float32))
+    robot.set_joint_configuration(q)
+    pts, take = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]]))
+    v_c, g_c = robot.sdf.query_coherent(pts)
+    v_g, g_g = robot.sdf(pts)
+    assert v_c.shape == v_g.shape == (2, 2, pts.shape[0])
+    np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_g))
+    robot.set_joint_configuration(_configs())  # restore for other tests

@@ -195,3 +195,49 @@ def test_robot_sdf_from_mjcf_primitives():
     # first point is on the capsule axis inside link1 -> negative SDF
     assert float(val[0, 0]) < 0
     assert np.all(np.isfinite(np.asarray(grad)))
+
+
+def test_mjcf_fromto_capsule():
+    # the standard MuJoCo capsule idiom (e.g. humanoid.xml)
+    doc = """
+    <mujoco><compiler angle="radian"/><worldbody>
+      <body name="b" pos="0 0 0">
+        <joint name="j" type="hinge" axis="0 0 1"/>
+        <geom type="capsule" fromto="0 0 0 0 0.2 0" size="0.05"/>
+      </body>
+    </worldbody></mujoco>
+    """
+    c = build_chain_from_mjcf(doc)
+    v = c.find_frame("b").link.visuals[0]
+    assert v.geom_type == "capsule"
+    np.testing.assert_allclose(v.geom_param, (0.05, 0.2), atol=1e-7)
+    # capsule axis (local +z) maps onto the segment direction (+y)
+    np.testing.assert_allclose(v.offset[:3, 3], [0, 0.1, 0], atol=1e-7)
+    np.testing.assert_allclose(v.offset[:3, :3] @ [0, 0, 1], [0, 1, 0],
+                               atol=1e-7)
+
+
+def test_mjcf_orientation_attributes():
+    doc = """
+    <mujoco><compiler angle="radian"/><worldbody>
+      <body name="aa" pos="0 0 0" axisangle="0 0 1 1.5707963">
+        <joint type="hinge"/><geom type="sphere" size="0.01"/>
+      </body>
+      <body name="xy" pos="0 0 0" xyaxes="0 1 0 -1 0 0">
+        <joint type="hinge"/><geom type="sphere" size="0.01"/>
+      </body>
+      <body name="za" pos="0 0 0" zaxis="1 0 0">
+        <joint type="hinge"/><geom type="sphere" size="0.01"/>
+      </body>
+    </worldbody></mujoco>
+    """
+    c = build_chain_from_mjcf(doc)
+    q = jnp.zeros((3,))
+    fk = c.forward_kinematics(q)
+    Rz90 = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(np.asarray(fk["aa"].get_matrix())[0, :3, :3],
+                               Rz90, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fk["xy"].get_matrix())[0, :3, :3],
+                               Rz90, atol=1e-6)
+    m = np.asarray(fk["za"].get_matrix())[0, :3, :3]
+    np.testing.assert_allclose(m @ [0, 0, 1], [1, 0, 0], atol=1e-6)
