@@ -28,10 +28,19 @@ def test_pallas_matches_oracle(scene):
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
     assert np.abs(np.asarray(c0) - np.asarray(c1)).max() < 1e-6
     assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4  # in-kernel polynomial atan2
-    # face ids agree wherever the minimum is unique (ties at shared edges may
-    # resolve to a different but equidistant face)
-    diff = np.asarray(f0) != np.asarray(f1)
-    assert diff.mean() < 0.1
+    # face-id contract: the chosen face must achieve the minimal distance.
+    # Exact id equality does not hold on real TPU hardware — many faces are
+    # equidistant (shared edges, coplanar box faces) and in-kernel FMA
+    # contraction breaks ties differently than the XLA oracle.
+    from pytorch_volumetric_tpu.ops.point_triangle import _closest_point_bary
+
+    tri_np = np.asarray(scene.tri)
+    chosen = jnp.asarray(tri_np[np.asarray(f1)])  # [P, 3, 3]
+    d_chosen2, _ = _closest_point_bary(
+        pts[:, None, :], chosen[:, None, 0], (chosen[:, 1] - chosen[:, 0])[:, None],
+        (chosen[:, 2] - chosen[:, 0])[:, None])
+    assert np.abs(np.sqrt(np.asarray(d_chosen2)[:, 0]) -
+                  np.asarray(d0)).max() < 1e-5
 
 
 def test_pallas_ragged_sizes(scene):
