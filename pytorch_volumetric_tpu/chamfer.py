@@ -74,7 +74,7 @@ def pairwise_distance_chamfer(A_link_to_world_tfs: tfm.Transform3d,
         T_inv = A_link_to_world_tfs.inverse().get_matrix()
     else:
         T_inv = B_world_to_link_tfs.get_matrix()
-    Iapprox = jnp.einsum("bij,pjk->bpik", T_inv, T)
+    Iapprox = tfm.precise_einsum("bij,pjk->bpik", T_inv, T)
 
     B = T_inv.shape[0]
     P = T.shape[0]
@@ -127,7 +127,7 @@ class PlausibleDiversity:
     def compute_tf_pairwise_error_per_batch(self, T_est_inv, T_p, scale=1000.0):
         T_est_inv = as_float_array(T_est_inv)
         T_p = as_float_array(T_p)
-        Iapprox = jnp.einsum("bij,pjk->bpik", T_est_inv, T_p)
+        Iapprox = tfm.precise_einsum("bij,pjk->bpik", T_est_inv, T_p)
         B, P = Iapprox.shape[:2]
         errors_per_batch = batch_chamfer_dist(
             Iapprox.reshape(B * P, 4, 4), self.model_points_eval,

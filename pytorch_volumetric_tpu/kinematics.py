@@ -185,14 +185,14 @@ class Chain:
             m = parent_m
             if f.joint is not None:
                 origin = self._origins[f.name]
-                m = m @ origin
+                m = tfm.mm(m, origin)
                 if f.joint.joint_type in ACTUATED_TYPES:
                     qi = q[..., jidx[f.joint.name]]
                     motion = self._joint_motion(f, qi)
                     off = self._joint_offsets.get(f.name)
                     if off is not None:
-                        motion = off[0] @ motion @ off[1]
-                    m = m @ motion
+                        motion = tfm.mm(tfm.mm(off[0], motion), off[1])
+                    m = tfm.mm(m, motion)
             world[f.name] = m
             for c in f.children:
                 visit(c, m)

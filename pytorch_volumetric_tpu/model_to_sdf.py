@@ -103,7 +103,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         mats = []
         for i, link_name in enumerate(self.sdf_to_link_name):
             fk_inv = tfm.invert_tf(fk[link_name])        # [A, 4, 4]
-            mats.append(self._offset_inv[i] @ fk_inv)    # offset⁻¹ applied last
+            mats.append(tfm.mm(self._offset_inv[i], fk_inv))    # offset⁻¹ applied last
         m = jnp.concatenate(mats, axis=0)                # [L*A, 4, 4]
         return m, tfm.invert_tf(m)
 

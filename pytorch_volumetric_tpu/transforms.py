@@ -24,6 +24,22 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jnp.ndarray
+
+# Rigid-transform math must stay true float32: TPU's DEFAULT matmul
+# precision runs f32 matmuls through bf16 passes (~1e-3 relative error),
+# far beyond this library's 1e-4 surface tolerances.  These tiny 3x3/4x4
+# contractions are nowhere near the FLOP budget, so force full precision.
+MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def mm(a: ArrayLike, b: ArrayLike) -> Array:
+    """Full-precision matmul for transform chains (see MM_PRECISION)."""
+    return jnp.matmul(jnp.asarray(a), jnp.asarray(b), precision=MM_PRECISION)
+
+
+def precise_einsum(spec: str, *args) -> Array:
+    """Full-precision einsum for transform/rotation contractions."""
+    return jnp.einsum(spec, *args, precision=MM_PRECISION)
 ArrayLike = Union[Array, np.ndarray, Sequence[float], float]
 
 
@@ -111,7 +127,7 @@ def euler_angles_to_matrix(angles: ArrayLike, convention: str = "XYZ") -> Array:
     convention "XYZ" with angles ``[..., 3]``)."""
     a = jnp.asarray(angles)
     ms = [_axis_rotation(a[..., i], convention[i]) for i in range(3)]
-    return ms[0] @ ms[1] @ ms[2]
+    return mm(mm(ms[0], ms[1]), ms[2])
 
 
 def matrix_to_euler_angles_xyz(matrix: ArrayLike) -> Array:
@@ -127,9 +143,9 @@ def matrix_to_euler_angles_xyz(matrix: ArrayLike) -> Array:
 def rpy_to_matrix(rpy: ArrayLike) -> Array:
     """URDF roll-pitch-yaw (fixed-axis XYZ): R = Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
     a = jnp.asarray(rpy)
-    return (_axis_rotation(a[..., 2], "Z")
-            @ _axis_rotation(a[..., 1], "Y")
-            @ _axis_rotation(a[..., 0], "X"))
+    return mm(mm(_axis_rotation(a[..., 2], "Z"),
+                  _axis_rotation(a[..., 1], "Y")),
+               _axis_rotation(a[..., 0], "X"))
 
 
 def axis_angle_to_matrix(axis: ArrayLike, angle: ArrayLike) -> Array:
@@ -204,7 +220,7 @@ def invert_tf(matrix: ArrayLike) -> Array:
     R = m[..., :3, :3]
     t = m[..., :3, 3]
     Rt = jnp.swapaxes(R, -1, -2)
-    t_inv = -jnp.einsum("...ij,...j->...i", Rt, t)
+    t_inv = -precise_einsum("...ij,...j->...i", Rt, t)
     out = jnp.concatenate([Rt, t_inv[..., :, None]], axis=-1)
     bottom = jnp.zeros(m.shape[:-2] + (1, 4), dtype=m.dtype).at[..., 0, 3].set(1.0)
     return jnp.concatenate([out, bottom], axis=-2)
@@ -215,7 +231,7 @@ def compose_tf(*matrices: ArrayLike) -> Array:
     i.e. plain matrix product A @ B with broadcasting."""
     out = jnp.asarray(matrices[0])
     for m in matrices[1:]:
-        out = out @ jnp.asarray(m)
+        out = mm(out, jnp.asarray(m))
     return out
 
 
@@ -224,7 +240,8 @@ def transform_points(matrix: ArrayLike, points: ArrayLike) -> Array:
     ``p' = R p + t``."""
     m = jnp.asarray(matrix)
     p = jnp.asarray(points, dtype=m.dtype)
-    return jnp.einsum("...ij,...nj->...ni", m[..., :3, :3], p) + m[..., None, :3, 3]
+    return (precise_einsum("...ij,...nj->...ni", m[..., :3, :3], p)
+            + m[..., None, :3, 3])
 
 
 def transform_normals(matrix: ArrayLike, normals: ArrayLike) -> Array:
@@ -236,7 +253,7 @@ def transform_normals(matrix: ArrayLike, normals: ArrayLike) -> Array:
     # inverse-transpose; for orthonormal R this is R itself.  Solve instead of
     # explicit inverse for stability:  n' = (R^-1)^T n  <=>  n'^T = n^T R^-1.
     Rinv_T = jnp.swapaxes(jnp.linalg.inv(R), -1, -2)
-    return jnp.einsum("...ij,...nj->...ni", Rinv_T, n)
+    return precise_einsum("...ij,...nj->...ni", Rinv_T, n)
 
 
 def sample_perturbations(key: jax.Array, matrix: ArrayLike, n: int,
@@ -252,7 +269,7 @@ def sample_perturbations(key: jax.Array, matrix: ArrayLike, n: int,
     axis = rot_vec / jnp.maximum(angle[..., None], 1e-12)
     dR = axis_angle_to_matrix(axis, angle)
     dt = jax.random.normal(k2, (n, 3), dtype=m.dtype) * translation_sigma
-    R = dR @ m[..., :3, :3]
+    R = mm(dR, m[..., :3, :3])
     t = m[..., :3, 3] + dt
     return make_tf(pos=t, rot=R, dtype=m.dtype)
 
@@ -308,7 +325,7 @@ class Transform3d:
         model_to_sdf.py:113)."""
         m = self.get_matrix()
         for o in others:
-            m = m @ o.get_matrix()
+            m = mm(m, o.get_matrix())
         return Transform3d(matrix=m)
 
     def stack(self, *others: "Transform3d") -> "Transform3d":

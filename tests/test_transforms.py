@@ -13,7 +13,8 @@ def test_quaternion_roundtrip():
     m = tfm.quaternion_to_matrix(q)
     # orthonormality
     eye = jnp.eye(3)
-    assert np.allclose(m @ jnp.swapaxes(m, -1, -2), np.tile(eye, (32, 1, 1)), atol=1e-5)
+    mn = np.asarray(m)
+    assert np.allclose(mn @ mn.transpose(0, 2, 1), np.tile(eye, (32, 1, 1)), atol=1e-5)
     assert np.allclose(np.linalg.det(np.asarray(m)), 1.0, atol=1e-5)
     q2 = tfm.matrix_to_quaternion(m)
     assert np.allclose(q, q2, atol=1e-5)
@@ -26,15 +27,17 @@ def test_euler_and_rpy():
     assert np.allclose(a, back, atol=1e-6)
     # rpy is fixed-axis XYZ = Rz Ry Rx
     mr = tfm.rpy_to_matrix(a)
-    expected = (tfm._axis_rotation(a[2], "Z") @ tfm._axis_rotation(a[1], "Y")
-                @ tfm._axis_rotation(a[0], "X"))
+    expected = (np.asarray(tfm._axis_rotation(a[2], "Z"))
+                @ np.asarray(tfm._axis_rotation(a[1], "Y"))
+                @ np.asarray(tfm._axis_rotation(a[0], "X")))
     assert np.allclose(mr, expected)
 
 
 def test_axis_angle():
     m = tfm.axis_angle_to_matrix(jnp.array([0.0, 0.0, 1.0]), jnp.pi / 2)
     p = jnp.array([1.0, 0.0, 0.0])
-    assert np.allclose(m @ p, jnp.array([0.0, 1.0, 0.0]), atol=1e-6)
+    assert np.allclose(np.asarray(m) @ np.asarray(p),
+                       np.array([0.0, 1.0, 0.0]), atol=1e-6)
 
 
 def test_invert_and_compose():
@@ -43,7 +46,8 @@ def test_invert_and_compose():
     t = jax.random.normal(jax.random.PRNGKey(2), (8, 3))
     m = tfm.make_tf(pos=t, rot=R)
     inv = tfm.invert_tf(m)
-    assert np.allclose(m @ inv, np.tile(np.eye(4), (8, 1, 1)), atol=1e-5)
+    assert np.allclose(np.asarray(m) @ np.asarray(inv),
+                       np.tile(np.eye(4), (8, 1, 1)), atol=1e-5)
 
 
 def test_transform_points_and_normals():
@@ -53,10 +57,11 @@ def test_transform_points_and_normals():
     m = tfm.make_tf(pos=t, rot=R)
     pts = jax.random.normal(jax.random.PRNGKey(4), (10, 3))
     out = tfm.transform_points(m, pts)
-    assert np.allclose(out, pts @ np.asarray(R).T + np.asarray(t), atol=1e-5)
+    assert np.allclose(out, np.asarray(pts) @ np.asarray(R).T + np.asarray(t),
+                       atol=1e-5)
     # rigid: normals transform by R, lengths preserved
     n = tfm.transform_normals(m, pts)
-    assert np.allclose(n, pts @ np.asarray(R).T, atol=1e-4)
+    assert np.allclose(n, np.asarray(pts) @ np.asarray(R).T, atol=1e-4)
     # round trip through inverse
     back = tfm.transform_points(tfm.invert_tf(m), out)
     assert np.allclose(back, pts, atol=1e-5)
