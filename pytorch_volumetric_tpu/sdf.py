@@ -457,7 +457,7 @@ def compose_query(child_raw_queries: Tuple[Callable, ...],
         v = v.reshape(batch, F)
         g = g.reshape(batch, F, 3)
         # rotate gradients back into the object frame (rigid: R == inv-transpose)
-        g = tfm.precise_einsum("bij,bfj->bfi", R_back[i], g)
+        g = tfm.rotate_vectors(R_back[i], g)
         if best_v is None:
             best_v, best_g = v, g
         else:
@@ -689,13 +689,13 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]))
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
         for ci, i in enumerate(fast):
-            g_rot = tfm.precise_einsum("bij,bfj->bfi", R_back[i], g_link)
+            g_rot = tfm.rotate_vectors(R_back[i], g_link)
             best_g = best_g + oh[ci][..., None] * g_rot
         best_v = val
     for i in generic:
         v, g = children[i].raw_query(pts_all[i].reshape(batch * F, 3))
         v = v.reshape(batch, F)
-        g = tfm.precise_einsum("bij,bfj->bfi", R_back[i], g.reshape(batch, F, 3))
+        g = tfm.rotate_vectors(R_back[i], g.reshape(batch, F, 3))
         if best_v is None:
             best_v, best_g = v, g
         else:

@@ -237,11 +237,36 @@ def compose_tf(*matrices: ArrayLike) -> Array:
 
 def transform_points(matrix: ArrayLike, points: ArrayLike) -> Array:
     """Apply ``[..., 4, 4]`` to points ``[..., N, 3]`` (batch dims broadcast):
-    ``p' = R p + t``."""
+    ``p' = R p + t``.  Written elementwise rather than as a matmul: native
+    f32 on the VPU (no TPU bf16 matmul passes, no MM_PRECISION multi-pass)."""
     m = jnp.asarray(matrix)
     p = jnp.asarray(points, dtype=m.dtype)
-    return (precise_einsum("...ij,...nj->...ni", m[..., :3, :3], p)
-            + m[..., None, :3, 3])
+    R = m[..., None, :3, :3]       # [..., 1, 3, 3]
+    t = m[..., None, :3, 3]        # [..., 1, 3]
+    out = jnp.stack([
+        R[..., 0, 0] * p[..., 0] + R[..., 0, 1] * p[..., 1]
+        + R[..., 0, 2] * p[..., 2],
+        R[..., 1, 0] * p[..., 0] + R[..., 1, 1] * p[..., 1]
+        + R[..., 1, 2] * p[..., 2],
+        R[..., 2, 0] * p[..., 0] + R[..., 2, 1] * p[..., 1]
+        + R[..., 2, 2] * p[..., 2],
+    ], axis=-1)
+    return out + t
+
+
+def rotate_vectors(R: ArrayLike, v: ArrayLike) -> Array:
+    """``[..., 3, 3] x [..., N, 3] -> [..., N, 3]`` rotation, elementwise
+    (native f32 on the VPU; see :func:`transform_points`)."""
+    R = jnp.asarray(R)[..., None, :, :]
+    v = jnp.asarray(v)
+    return jnp.stack([
+        R[..., 0, 0] * v[..., 0] + R[..., 0, 1] * v[..., 1]
+        + R[..., 0, 2] * v[..., 2],
+        R[..., 1, 0] * v[..., 0] + R[..., 1, 1] * v[..., 1]
+        + R[..., 1, 2] * v[..., 2],
+        R[..., 2, 0] * v[..., 0] + R[..., 2, 1] * v[..., 1]
+        + R[..., 2, 2] * v[..., 2],
+    ], axis=-1)
 
 
 def transform_normals(matrix: ArrayLike, normals: ArrayLike) -> Array:
