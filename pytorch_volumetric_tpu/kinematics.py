@@ -518,10 +518,12 @@ def _mjcf_body_matrix(elem, degrees: bool) -> np.ndarray:
     elif elem.get("axisangle"):
         v = np.fromstring(elem.get("axisangle"), sep=" ")
         axis = v[:3] / max(np.linalg.norm(v[:3]), 1e-30)
-        ang = np.deg2rad(v[3]) if degrees else v[3]
-        m[:3, :3] = np.asarray(tfm.axis_angle_to_matrix(
-            jnp.asarray(axis, dtype=jnp.float64),
-            jnp.asarray(float(ang))))
+        ang = float(np.deg2rad(v[3]) if degrees else v[3])
+        # host-side Rodrigues in true f64 (jnp would truncate to f32)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        m[:3, :3] = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
     elif elem.get("xyaxes"):
         v = np.fromstring(elem.get("xyaxes"), sep=" ")
         x = v[:3] / max(np.linalg.norm(v[:3]), 1e-30)

@@ -188,10 +188,8 @@ class RobotSDF(sdf.ObjectFrameSDF):
         # cached link is too fine, fall back to the generic per-point path —
         # the brick path would silently return wrong values.
         min_cache_res = min(
-            (float(np.min(s.resolution) if np.ndim(s.resolution) else
-                   s.resolution)
-             for s in self.sdf.sdfs if isinstance(s, sdf.CachedSDF)),
-            default=np.inf)
+            (float(s.resolution) for s in self.sdf.sdfs
+             if sdf._is_coherent_fast_child(s)), default=np.inf)
         if 2.0 * resolution > min_cache_res:
             logger.info(
                 "query_grid: sweep resolution %.4g too coarse for cached "

@@ -547,8 +547,34 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 COHERENT_SEG = 4
 
 # concatenated winner-gradient tables per child-set (see
-# _coherent_union_lookup); holding the child arrays pins their ids
+# _coherent_union_lookup).  Keys are child-array ids; weakrefs detect both
+# child death and id reuse, and dead entries are purged on access so the
+# cache stays bounded by the number of LIVE child sets.
 _VG_CAT_CACHE: dict = {}
+
+
+def _vg_cat_for(tables) -> jnp.ndarray:
+    import weakref
+
+    key = tuple(id(t.vg) for t in tables)
+    hit = _VG_CAT_CACHE.get(key)
+    if hit is not None and all(r() is not None for r in hit[0]):
+        return hit[1]
+    for k in [k for k, v in _VG_CAT_CACHE.items()
+              if any(r() is None for r in v[0])]:
+        del _VG_CAT_CACHE[k]
+    vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+    _VG_CAT_CACHE[key] = (tuple(weakref.ref(t.vg) for t in tables), vg_cat)
+    return vg_cat
+
+
+def _is_coherent_fast_child(s) -> bool:
+    """True iff the brick-gather fast path applies to this union child (the
+    others take the generic per-point sub-path where the coherence contract
+    is irrelevant)."""
+    return (isinstance(s, CachedSDF)
+            and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
+            and s.interpolation == "nearest")
 
 
 class _CoherentTables(NamedTuple):
@@ -575,13 +601,7 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
     # concatenated winner table is cached per child-set so retraces (new
     # shapes, new jits) don't materialize fresh multi-MB copies.
     with jax.ensure_compile_time_eval():
-        key = tuple(id(t.vg) for t in tables)
-        hit = _VG_CAT_CACHE.get(key)
-        if hit is None:
-            hit = (tuple(t.vg for t in tables),  # pin ids against GC reuse
-                   jnp.concatenate([t.vg for t in tables], axis=0))
-            _VG_CAT_CACHE[key] = hit
-        vg_cat = hit[1]
+        vg_cat = _vg_cat_for(tables)
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
         child_iota = jnp.arange(C, dtype=jnp.int32)
@@ -672,12 +692,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     pts_all = tfm.transform_points(obj_to_link, points).reshape(S, batch, F, 3)
     R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
 
-    def is_fast(s):
-        return (isinstance(s, CachedSDF)
-                and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
-                and s.interpolation == "nearest")
-
-    fast = [i for i, s in enumerate(children) if is_fast(s)]
+    fast = [i for i, s in enumerate(children) if _is_coherent_fast_child(s)]
     generic = [i for i in range(S) if i not in fast]
 
     best_v = best_g = None
@@ -787,9 +802,7 @@ class ComposedSDF(ObjectFrameSDF):
             return False
         pts_all = np.asarray(tfm.transform_points(m, pts)).reshape(S, B, F, 3)
         for i, s in enumerate(self.sdfs):
-            if not (isinstance(s, CachedSDF)
-                    and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
-                    and s.interpolation == "nearest"):
+            if not _is_coherent_fast_child(s):
                 continue
             t = s._coherent_tables()
             k = np.round((pts_all[i] - np.asarray(t.lo)) / np.asarray(t.res))
@@ -1070,10 +1083,7 @@ class CachedSDF(ObjectFrameSDF):
         with jax.ensure_compile_time_eval():
             bricks = jnp.asarray(np.stack(parts, axis=-1).reshape(-1, 64))
             # reuse the packed rows _build_raw already holds (one HBM copy)
-            vg = getattr(self, "_vg", None)
-            if vg is None:
-                vg = jnp.asarray(np.concatenate(
-                    [val.reshape(-1, 1), np.asarray(self.voxels_grad)], axis=1))
+            vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
                 lo=jnp.asarray(self.voxels.lo, dtype=jnp.float32),
                 res=jnp.asarray(self.voxels.res, dtype=jnp.float32),

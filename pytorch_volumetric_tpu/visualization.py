@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from pytorch_volumetric_tpu import sdf as sdf_mod
+from pytorch_volumetric_tpu import transforms as tfm
 from pytorch_volumetric_tpu import voxel
 from pytorch_volumetric_tpu import model_to_sdf
 
@@ -102,7 +103,7 @@ def get_transformed_meshes(robot_sdf: model_to_sdf.RobotSDF, obj_to_world_tsf=No
     meshes = []
     tsfs = robot_sdf.sdf.link_frame_to_obj_frame  # [L*A, 4, 4] link->obj
     if obj_to_world_tsf is not None:
-        tsfs = obj_to_world_tsf.get_matrix() @ tsfs
+        tsfs = tfm.mm(obj_to_world_tsf.get_matrix(), tsfs)
     tsfs = np.asarray(tsfs)
     for i in range(len(robot_sdf.sdf_to_link_name)):
         sl = robot_sdf.sdf.ith_transform_slice(i)

@@ -200,11 +200,17 @@ def test_query_grid_falls_back_when_incoherent(robot):
 def test_query_coherent_multidim_batch(robot):
     rng2 = np.random.default_rng(1)
     q = jnp.asarray(rng2.uniform(-1, 1, (2, 2, 3)).astype(np.float32))
-    robot.set_joint_configuration(q)
-    pts, take = pv.get_coherent_grid_points(
-        0.02, np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]]))
-    v_c, g_c = robot.sdf.query_coherent(pts)
-    v_g, g_g = robot.sdf(pts)
-    assert v_c.shape == v_g.shape == (2, 2, pts.shape[0])
-    np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_g))
-    robot.set_joint_configuration(_configs())  # restore for other tests
+    try:
+        robot.set_joint_configuration(q)
+        pts, take = pv.get_coherent_grid_points(
+            0.02, np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]]))
+        v_c, g_c = robot.sdf.query_coherent(pts)
+        v_g, g_g = robot.sdf(pts)
+        assert v_c.shape == v_g.shape == (2, 2, pts.shape[0])
+        if jax.default_backend() == "cpu":
+            np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_g))
+        else:  # ~1 ulp FMA-contraction differences between compiled programs
+            np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_g),
+                                       atol=1e-6)
+    finally:
+        robot.set_joint_configuration(_configs())  # restore for other tests
