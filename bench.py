@@ -108,6 +108,16 @@ def main():
     bwd_s = (time.perf_counter() - t0) / reps
     log(f"forward+backward: {bwd_s * 1e3:.2f} ms -> {N * M / bwd_s / 1e6:.1f}M queries/s")
 
+    # the reference's other headline row: N=20 configs (README.md:195-200,
+    # 37.69 ms on the 2080 Ti)
+    th20 = th[:20]
+    float(fwd(th20, pts))
+    t0 = time.perf_counter()
+    float(fwd(th20, pts))
+    fwd20_s = (time.perf_counter() - t0) / reps
+    log(f"forward N=20: {fwd20_s * 1e3:.2f} ms "
+        f"(reference 37.69 ms) -> {20 * M / fwd20_s / 1e6:.1f}M queries/s")
+
     print(json.dumps({
         "metric": "robot_sdf_query_throughput",
         "value": round(qps, 1),
@@ -116,6 +126,8 @@ def main():
         "extra": {
             "forward_ms": round(fwd_s * 1e3, 3),
             "forward_backward_ms": round(bwd_s * 1e3, 3),
+            "forward_ms_20_configs": round(fwd20_s * 1e3, 3),
+            "vs_baseline_20_configs": round(0.03769 / fwd20_s, 3),
             "baseline_qps": round(BASELINE_QPS, 1),
         },
     }))
