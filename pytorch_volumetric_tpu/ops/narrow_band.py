@@ -52,11 +52,37 @@ class NarrowBandTables(NamedTuple):
     bb: jnp.ndarray       # [3, 2] surface AABB (out-of-grid fallback)
 
 
+def _mesh_fingerprint(m: TriangleMesh) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(m.vertices).tobytes())
+    h.update(np.ascontiguousarray(m.faces).tobytes())
+    return h.hexdigest()[:16]
+
+
 def build_narrow_band_tables(m: TriangleMesh, cell_res: float, band: float,
-                             padding: float = 0.1,
-                             max_k: int = 256) -> NarrowBandTables:
-    """Host-side build using the native BVH runtime (raises if unavailable)."""
+                             padding: float = 0.1, max_k: int = 256,
+                             cache_path: str | None = None) -> NarrowBandTables:
+    """Host-side build using the native BVH runtime (raises if unavailable).
+
+    ``cache_path``: optional ``.npz`` store; tables are persisted keyed by
+    the mesh content hash + build parameters (the narrow-band analog of the
+    reference's voxel cache, sdf.py:484-517), so restarts skip the BVH sweep
+    and candidate-table construction entirely.
+    """
     from pytorch_volumetric_tpu import native
+    from pytorch_volumetric_tpu.utils.cache import get_store
+
+    key = None
+    if cache_path is not None:
+        key = (f"nb {_mesh_fingerprint(m)} {cell_res} {band} {padding} "
+               f"{max_k}")
+        hit = get_store(cache_path).get(key)
+        if hit is not None and len(hit) == 8:
+            logger.info("narrow-band tables for %s loaded from %s", key,
+                        cache_path)
+            return NarrowBandTables(*(jnp.asarray(a) for a in hit))
 
     if not native.available():
         raise RuntimeError("narrow-band build requires the native runtime")
@@ -133,14 +159,14 @@ def build_narrow_band_tables(m: TriangleMesh, cell_res: float, band: float,
     strides = np.array([dims[1] * dims[2], dims[2], 1], dtype=np.int64)
     logger.info("narrow-band tables: %d cells (%d band, K=%d, %.1f MB)",
                 C, len(band_cells), K, cand.nbytes / 1e6)
-    return NarrowBandTables(
-        lo=jnp.asarray(lo, dtype=jnp.float32),
-        res=jnp.asarray(res, dtype=jnp.float32),
-        dims=jnp.asarray(dims, dtype=jnp.int32),
-        strides=jnp.asarray(strides, dtype=jnp.int32),
-        meta=jnp.asarray(meta), cand=jnp.asarray(cand),
-        pseudo=jnp.asarray(pseudo),
-        bb=jnp.asarray(aabb, dtype=jnp.float32))
+    host = (lo.astype(np.float32), res.astype(np.float32),
+            dims.astype(np.int32), strides.astype(np.int32),
+            meta.astype(np.float32), cand, pseudo,
+            aabb.astype(np.float32))
+    if key is not None:
+        get_store(cache_path).put(key, list(host))
+        logger.info("narrow-band tables cached to %s", cache_path)
+    return NarrowBandTables(*(jnp.asarray(a) for a in host))
 
 
 def _candidate_query(p: jnp.ndarray, rows: jnp.ndarray, pseudo: jnp.ndarray,

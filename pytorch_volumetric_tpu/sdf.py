@@ -489,7 +489,7 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 
     def __init__(self, obj_factory: ObjectFactory, cell_res: Optional[float] = None,
                  band: Optional[float] = None, padding: float = 0.1,
-                 max_k: int = 256):
+                 max_k: int = 256, cache_path: Optional[str] = None):
         from pytorch_volumetric_tpu.ops.narrow_band import (
             build_narrow_band_tables)
 
@@ -504,7 +504,8 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
         self.cell_res = cell_res
         self.band = band
         self.tables = build_narrow_band_tables(m, cell_res, band,
-                                               padding=padding, max_k=max_k)
+                                               padding=padding, max_k=max_k,
+                                               cache_path=cache_path)
         self._eps = jnp.float32(obj_factory.surface_normal_eps)
 
     def raw_query(self, points):

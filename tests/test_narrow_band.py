@@ -126,3 +126,25 @@ def test_robot_with_narrow_band_links(tmp_path, rng):
     # min-union never overestimates by more than the far-field error and the
     # AABB fallback only underestimates
     assert np.all(np.asarray(v_nb) <= np.asarray(v_ex) + 0.01)
+
+
+def test_narrow_band_disk_cache_roundtrip(tmp_path, rng):
+    m = mesh_mod.icosphere_mesh(radius=0.2, subdivisions=2)
+    path = os.path.join(str(tmp_path), "s.obj")
+    mesh_mod.save_obj(m, path)
+    fac = pv.MeshObjectFactory(path)
+    cache = str(tmp_path / "nb.npz")
+    nb1 = pv.NarrowBandMeshSDF(fac, cell_res=0.03, band=0.06, padding=0.1,
+                               cache_path=cache)
+    assert os.path.exists(cache)
+    nb2 = pv.NarrowBandMeshSDF(fac, cell_res=0.03, band=0.06, padding=0.1,
+                               cache_path=cache)  # cache hit, no native build
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (128, 3)).astype(np.float32))
+    v1, g1 = nb1(pts)
+    v2, g2 = nb2(pts)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    # different params -> different key -> rebuild (not a stale hit)
+    nb3 = pv.NarrowBandMeshSDF(fac, cell_res=0.04, band=0.06, padding=0.1,
+                               cache_path=cache)
+    assert nb3.tables.dims.shape == (3,)
