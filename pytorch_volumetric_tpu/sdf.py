@@ -1065,24 +1065,27 @@ class CachedSDF(ObjectFrameSDF):
         return self._build_coherent_tables()
 
     def _build_coherent_tables(self) -> _CoherentTables:
-        # host-side build with concrete arrays (this lazy init may be reached
-        # inside a jit/grad trace; numpy + ensure_compile_time_eval keep
-        # tracers out of the per-instance cache)
-        val = np.asarray(self.voxels.raw_data)
-        n = np.asarray(val.shape, dtype=np.int64)
+        # device-side build from the already-resident value grid: the 8x
+        # brick expansion never crosses the (slow, tunneled) host link.
+        # ensure_compile_time_eval keeps everything concrete even when this
+        # lazy init is reached inside a jit/grad trace.
+        n = np.asarray(self.voxels.shape, dtype=np.int64)
         nb = (n - 1) // 2 + 1          # brick-corner grid dims
         npad = 2 * nb + 2              # max corner 2*(nb-1) + brick extent 4
-        padded = np.pad(val, [(0, int(npad[d] - n[d])) for d in range(3)])
-        parts = []
-        for ux in range(4):
-            for uy in range(4):
-                for uz in range(4):
-                    parts.append(padded[ux:ux + 2 * int(nb[0] - 1) + 1:2,
-                                        uy:uy + 2 * int(nb[1] - 1) + 1:2,
-                                        uz:uz + 2 * int(nb[2] - 1) + 1:2])
         bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
         with jax.ensure_compile_time_eval():
-            bricks = jnp.asarray(np.stack(parts, axis=-1).reshape(-1, 64))
+            padded = jnp.pad(self.voxels.raw_data,
+                             [(0, int(npad[d] - n[d])) for d in range(3)])
+            parts = []
+            for ux in range(4):
+                for uy in range(4):
+                    for uz in range(4):
+                        parts.append(jax.lax.slice(
+                            padded, (ux, uy, uz),
+                            (ux + 2 * int(nb[0] - 1) + 1,
+                             uy + 2 * int(nb[1] - 1) + 1,
+                             uz + 2 * int(nb[2] - 1) + 1), (2, 2, 2)))
+            bricks = jnp.stack(parts, axis=-1).reshape(-1, 64)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
