@@ -155,7 +155,11 @@ def _sweep_chunk(points: jnp.ndarray, tri: jnp.ndarray, tri_chunk: int):
     # scan's carry types match
     vma = tuple(jax.typeof(tri).vma) if hasattr(jax, "typeof") else ()
     if vma:
-        init = jax.tree_util.tree_map(lambda a: jax.lax.pvary(a, vma), init)
+        if hasattr(jax.lax, "pcast"):
+            _pvary = lambda a: jax.lax.pcast(a, vma, to="varying")
+        else:  # older jax without pcast
+            _pvary = lambda a: jax.lax.pvary(a, vma)
+        init = jax.tree_util.tree_map(_pvary, init)
     (best_d2, best_pt, best_fid, wind, _), _ = jax.lax.scan(body, init, tri_tiles)
     return best_d2, best_pt, best_fid, wind / _FOUR_PI
 

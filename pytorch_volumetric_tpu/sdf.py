@@ -620,6 +620,14 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
             ks = kc.reshape(B, FS, COHERENT_SEG, 3)
             corner2 = ks.min(axis=2) // 2                      # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
+            # segments with no in-bounds point all read brick 0: the gathered
+            # row is discarded by the valid-select below, and the duplicated
+            # address is a cache hit instead of a scattered HBM read.  Robot
+            # link caches are small vs the query grid, so MOST (link, segment)
+            # pairs take this lane (same trick as the generic path's
+            # gather_nearest row-0 redirect).
+            seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
+            bflat = jnp.where(seg_valid, bflat, 0)
             rows = t.bricks[bflat]                             # [B, FS, 64]
             off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
@@ -646,7 +654,10 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
                 best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
         oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
-        # single winner-row gather for the gradient
+        # single winner-row gather for the gradient; points whose winner is
+        # out of bounds use the AABB gradient anyway, so redirect them to
+        # row 0 (duplicated address -> cache hit, not a scattered read)
+        best_flat = jnp.where(best_valid, best_flat, 0)
         g_in = vg_cat[best_flat][..., 1:4]
         g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
         return best_v, g_link, oh
@@ -1026,6 +1037,9 @@ class CachedSDF(ObjectFrameSDF):
                 idx = i0 + offs
                 wt = jnp.prod(jnp.where(offs == 1, w, 1.0 - w), axis=-1)
                 flat_idx = jnp.sum(idx * strides, axis=-1)
+                # out-of-bounds lanes read row 0 (discarded by the caller's
+                # select; duplicated address -> cache hit, see gather_nearest)
+                flat_idx = jnp.where(valid, flat_idx, 0)
                 acc = acc + wt[..., None] * vg[flat_idx]
             return acc[..., 0], acc[..., 1:4], valid
 
