@@ -9,6 +9,7 @@ model → SDF over batched joint configurations.
 
 from pytorch_volumetric_tpu.sdf import (
     SDFQuery, ObjectFactory, MeshObjectFactory, ObjectFrameSDF, SphereSDF,
+    BoxSDF, CylinderSDF, CapsuleSDF,
     MeshSDF, NarrowBandMeshSDF, ComposedSDF, CachedSDF, OutOfBoundsStrategy,
     sample_mesh_points, aabb_corners,
 )
