@@ -32,6 +32,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persist compiled programs across driver runs (compiles dominate the
+    # wall time of a cold run on the tunneled TPU)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(BENCH_DIR, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     import pytorch_volumetric_tpu as pv
     from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 

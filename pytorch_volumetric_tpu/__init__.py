@@ -40,4 +40,8 @@ from pytorch_volumetric_tpu.visualization import draw_sdf_slice, get_transformed
 from pytorch_volumetric_tpu import mesh
 from pytorch_volumetric_tpu import transforms
 from pytorch_volumetric_tpu import kinematics
+from pytorch_volumetric_tpu import models
+from pytorch_volumetric_tpu.models import (
+    NeuralSDF, ConfigSpaceNeuralSDF, fit_neural_sdf, fit_config_space_sdf,
+)
 from pytorch_volumetric_tpu.utils import robots

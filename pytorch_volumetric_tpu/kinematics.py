@@ -129,6 +129,19 @@ class Chain:
     def get_joint_parameter_names(self, exclude_fixed=True) -> List[str]:
         return list(self._joint_names)
 
+    def get_joint_limits(self, fallback: float = np.pi) -> np.ndarray:
+        """``[M, 2]`` (lower, upper) per actuated joint from the parsed
+        ``<limit>`` elements (pytorch_kinematics API surface); joints without
+        finite limits fall back to ``±fallback``."""
+        joints = {f.joint.name: f.joint for f in self._ordered
+                  if f.joint is not None}
+        lims = []
+        for n in self._joint_names:
+            lo, hi = joints[n].limits
+            lims.append((lo if np.isfinite(lo) else -fallback,
+                         hi if np.isfinite(hi) else fallback))
+        return np.asarray(lims, dtype=np.float32)
+
     def get_frame_names(self, exclude_fixed=False) -> List[str]:
         if exclude_fixed:
             return [f.name for f in self._ordered

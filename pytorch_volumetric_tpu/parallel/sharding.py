@@ -26,6 +26,52 @@ CONFIG_AXIS = "config"
 POINT_AXIS = "point"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> Tuple[int, int]:
+    """Initialize multi-host JAX (one process per host on a TPU pod slice)
+    and return ``(process_index, process_count)``.
+
+    On TPU pods ``jax.distributed.initialize`` auto-detects every argument
+    from the environment, so ``init_distributed()`` with no arguments is the
+    whole ceremony; afterwards ``jax.devices()`` is the *global* device list
+    and :func:`make_device_mesh` builds cross-host meshes whose collectives
+    ride ICI within a slice and DCN across slices.
+
+    Single-process runs (no coordinator given, no cluster environment) are a
+    no-op returning ``(0, 1)`` — library code can call this unconditionally.
+    Calling again after initialization is also a no-op.
+    """
+    import os
+    explicit = coordinator_address is not None or num_processes is not None
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    cluster_env = (len(workers.split(",")) > 1
+                   or any(v in os.environ for v in (
+                       "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                       "MEGASCALE_COORDINATOR_ADDRESS")))
+    if not explicit and not cluster_env:
+        return jax.process_index(), jax.process_count()
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
+    except RuntimeError as e:
+        # keep idempotent: already initialized, or the XLA backend is already
+        # up in-process (single-process interactive/test sessions)
+        msg = str(e).lower()
+        if "already" not in msg and "must be called before" not in msg:
+            raise
+    except ValueError:
+        # auto-detection from a cluster-looking environment came up short
+        # (e.g. no coordinator address); with explicit arguments that is a
+        # real configuration error, otherwise fall back to single-process
+        if explicit:
+            raise
+    return jax.process_index(), jax.process_count()
+
+
 def make_device_mesh(n_config: Optional[int] = None, n_point: Optional[int] = None,
                      devices=None) -> Mesh:
     """Build a 2D (config, point) device mesh.

@@ -1,0 +1,111 @@
+"""Neural SDF model family (models/neural_sdf): distillation from exact
+SDFs — a learned-model family beyond the reference (SURVEY §2 has none).
+
+Kept small/fast for CPU: tiny nets, short fits, loose-but-meaningful
+tolerances (the sphere's exact field is analytic)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytorch_volumetric_tpu as pv
+from pytorch_volumetric_tpu.models import (
+    ConfigSpaceNeuralSDF, NeuralSDF, fit_config_space_sdf, fit_neural_sdf)
+
+
+@pytest.fixture(scope="module")
+def sphere_fit():
+    sdf = pv.SphereSDF(0.5)
+    model, losses = fit_neural_sdf(
+        sdf, key=0, padding=0.2, width=64, depth=3, fourier=32,
+        n_samples=20_000, steps=400, batch=2048, lr=1e-3)
+    return sdf, model, losses
+
+
+def test_neural_sdf_value_accuracy(sphere_fit):
+    sdf, model, losses = sphere_fit
+    # training converged
+    assert float(losses[-50:].mean()) < 0.5 * float(losses[:50].mean())
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-0.6, 0.6, (500, 3)),
+                      dtype=jnp.float32)
+    v_gt, g_gt = sdf(pts)
+    v, g = model(pts)
+    rmse = float(jnp.sqrt(jnp.mean((v - v_gt) ** 2)))
+    assert rmse < 0.03, rmse
+    # gradient direction agrees away from the center singularity
+    mask = jnp.linalg.norm(pts, axis=-1) > 0.15
+    cos = jnp.sum(g * g_gt, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(g, axis=-1), 1e-9)
+    assert float(jnp.mean(jnp.where(mask, cos, 1.0))) > 0.95
+
+
+def test_neural_sdf_is_object_frame_sdf(sphere_fit):
+    _, model, _ = sphere_fit
+    assert isinstance(model, pv.ObjectFrameSDF)
+    # batched protocol shape contract
+    pts = jnp.zeros((4, 7, 3))
+    v, g = model(pts)
+    assert v.shape == (4, 7) and g.shape == (4, 7, 3)
+    bb = np.asarray(model.surface_bounding_box(padding=0.1))
+    assert bb.shape == (3, 2) and (bb[:, 1] > bb[:, 0]).all()
+
+
+def test_neural_sdf_grad_consistency(sphere_fit):
+    """raw_query's gradient equals jax.grad of the value network."""
+    _, model, _ = sphere_fit
+    pts = jnp.asarray([[0.3, 0.2, -0.1], [0.0, 0.45, 0.1]], dtype=jnp.float32)
+    _, g = model.raw_query(pts)
+    g_ad = jax.vmap(jax.grad(lambda p: model.value(p[None])[0]))(pts)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def arm_fit(tmp_path_factory):
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    d = str(tmp_path_factory.mktemp("csdf"))
+    urdf, end = make_serial_arm(d, num_joints=2, segments=6, rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf).read(), end)
+    robot = pv.RobotSDF(chain, path_prefix=d)
+    model, losses = fit_config_space_sdf(
+        robot, key=0, width=96, depth=4, fourier=48, n_configs=64,
+        pts_per_config=1024, steps=1200, batch=4096, lr=1e-3)
+    return robot, model, losses
+
+
+def test_config_space_sdf_fit(arm_fit):
+    robot, model, losses = arm_fit
+    assert float(losses[-50:].mean()) < 0.5 * float(losses[:50].mean())
+    # accuracy against the exact oracle on fresh configs/points
+    rng = np.random.default_rng(3)
+    lims = robot.chain.get_joint_limits()
+    qs = jnp.asarray(rng.uniform(lims[:, 0], lims[:, 1], (4, 2)),
+                     dtype=jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (256, 3)), dtype=jnp.float32)
+    robot.set_joint_configuration(qs)
+    v_gt, _ = robot(pts)
+    v, g = model.set_joint_configuration(qs)(pts)
+    assert v.shape == v_gt.shape == (4, 256)
+    assert g.shape == (4, 256, 3)
+    rmse = float(jnp.sqrt(jnp.mean((v - v_gt) ** 2)))
+    assert rmse < 0.2, rmse
+    # the shell around the surface is where the samples concentrate and
+    # where collision queries live: much tighter there
+    shell = jnp.abs(v_gt) < 0.1
+    shell_rmse = float(jnp.sqrt(
+        jnp.sum(jnp.where(shell, (v - v_gt) ** 2, 0.0)) / jnp.sum(shell)))
+    assert shell_rmse < 0.05, shell_rmse
+
+
+def test_config_space_sdf_q_differentiable(arm_fit):
+    """The learned field is differentiable in the joint configuration."""
+    _, model, _ = arm_fit
+    pts = jnp.asarray([[0.1, 0.0, 0.2]], dtype=jnp.float32)
+
+    def loss(q):
+        return jnp.sum(model.value(q, pts))
+
+    g = jax.grad(loss)(jnp.asarray([0.3, -0.2], dtype=jnp.float32))
+    assert g.shape == (2,) and bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0.0

@@ -179,3 +179,13 @@ def test_sharded_robot_query_coherent_matches_single(tmp_path):
     if jax.default_backend() == "cpu":
         assert np.array_equal(np.asarray(v_sh), np.asarray(v_ref))
         assert np.array_equal(np.asarray(g_sh), np.asarray(g_ref))
+
+
+def test_init_distributed_single_process_noop():
+    """init_distributed with no coordinator and no cluster env is a no-op
+    returning (0, 1); calling twice stays idempotent."""
+    import pytorch_volumetric_tpu.parallel as par
+
+    idx, count = par.init_distributed()
+    assert idx == 0 and count == 1
+    assert par.init_distributed() == (0, 1)
