@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--configs", type=int, default=256,
+                    help="training configurations sampled from the oracle "
+                         "(config-space coverage is the usual accuracy limiter)")
+    ap.add_argument("--pts", type=int, default=2048)
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmuls (f32 accumulation)")
     ap.add_argument("--cpu", action="store_true")
@@ -68,8 +72,8 @@ def main():
     t0 = time.perf_counter()
     model, losses = fit_config_space_sdf(
         robot, key=0, width=args.width, depth=args.depth, fourier=96,
-        n_configs=256, pts_per_config=2048, steps=args.steps, batch=8192,
-        lr=1e-3, compute_dtype=compute_dtype)
+        n_configs=args.configs, pts_per_config=args.pts, steps=args.steps,
+        batch=8192, lr=1e-3, compute_dtype=compute_dtype)
     log(f"fit: {time.perf_counter() - t0:.1f}s, "
         f"loss {float(losses[:50].mean()):.4f} -> {float(losses[-50:].mean()):.4f}")
 

@@ -56,8 +56,10 @@ def fourier_features(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Random Fourier positional features ``[.., d] -> [.., 2K]``:
     ``(sin, cos)(2π x·B)``.  Low-dimensional inputs (3D points) starve a
     plain MLP of high-frequency capacity; the projection fixes that
-    (Tancik et al.)."""
-    proj = (2.0 * jnp.pi) * (x @ B)
+    (Tancik et al.).  True-f32 projection: TPU default matmul precision is
+    bf16 passes, and phase noise before a sine is amplified by the
+    frequency — the repo-wide precision rule (CLAUDE.md) applies here."""
+    proj = (2.0 * jnp.pi) * jnp.dot(x, B, precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
@@ -85,16 +87,25 @@ def mlp_forward(params, x: jnp.ndarray, w0: float = 30.0,
                 compute_dtype=jnp.float32) -> jnp.ndarray:
     """Sine-activated MLP ``[.., in_dim] -> [..]``.  ``compute_dtype=
     jnp.bfloat16`` runs the matmuls on the MXU in bf16 with f32
-    accumulation (the last layer stays f32 — distances need the mantissa)."""
+    accumulation (the last layer stays f32 — distances need the mantissa).
+
+    With f32 compute the matmuls request ``Precision.HIGHEST``: the TPU
+    default decomposes f32 matmuls into bf16 passes, whose noise a sine
+    network amplifies enough to stall training (observed: diverging fits on
+    TPU that converge on CPU)."""
+    f32 = compute_dtype == jnp.float32
+    prec = jax.lax.Precision.HIGHEST if f32 else None
     h = x.astype(compute_dtype)
     for i, (W, b) in enumerate(params[:-1]):
         scale = w0 if i == 0 else 1.0
         h = jnp.sin(scale * (jnp.dot(h, W.astype(compute_dtype),
+                                     precision=prec,
                                      preferred_element_type=jnp.float32)
                              + b))
         h = h.astype(compute_dtype)
     W, b = params[-1]
-    out = jnp.dot(h.astype(jnp.float32), W) + b
+    out = jnp.dot(h.astype(jnp.float32), W,
+                  precision=jax.lax.Precision.HIGHEST) + b
     return out[..., 0]
 
 
@@ -143,7 +154,9 @@ def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
     value fit implies."""
     import optax
 
-    opt = optax.adam(lr)
+    # cosine-decayed adam: sine networks keep refining as the step size
+    # anneals; flat-lr fits plateau noticeably earlier
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
 
     def value_fn(p, pts):
         return mlp_forward(p, feats_fn(pts), w0=w0,
@@ -276,6 +289,7 @@ class ConfigSpaceNeuralSDF:
         self.w0 = w0
         self.compute_dtype = compute_dtype
         self._q = None
+        self._query_jit = None
 
     # -- core field ---------------------------------------------------------
     def _features(self, q, pts):
@@ -315,7 +329,9 @@ class ConfigSpaceNeuralSDF:
         pts = as_float_array(points_in_object_frame)
         pts_batch = pts.shape[:-1]
         flat = pts.reshape(-1, 3)
-        val, grad = self.query(self._q, flat)
+        if self._query_jit is None:
+            self._query_jit = jax.jit(self.query)
+        val, grad = self._query_jit(self._q, flat)
         A = self._q.shape[:-1]
         return (val.reshape(A + pts_batch),
                 grad.reshape(A + pts_batch + (3,)))
