@@ -74,8 +74,12 @@ def main():
         robot, key=0, width=args.width, depth=args.depth, fourier=96,
         n_configs=args.configs, pts_per_config=args.pts, steps=args.steps,
         batch=8192, lr=1e-3, compute_dtype=compute_dtype)
+    l = np.asarray(losses)
+    qtr = [round(float(l[max(0, i * len(l) // 4 - 25):
+                         i * len(l) // 4 + 25].mean()), 4) for i in range(1, 4)]
     log(f"fit: {time.perf_counter() - t0:.1f}s, "
-        f"loss {float(losses[:50].mean()):.4f} -> {float(losses[-50:].mean()):.4f}")
+        f"loss {float(l[:50].mean()):.4f} -> {float(l[-50:].mean()):.4f} "
+        f"(quarters {qtr})")
 
     # accuracy vs the exact oracle on fresh configs/points
     rng = np.random.default_rng(1)

@@ -154,9 +154,13 @@ def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
     value fit implies."""
     import optax
 
-    # cosine-decayed adam: sine networks keep refining as the step size
-    # anneals; flat-lr fits plateau noticeably earlier
-    opt = optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05))
+    # cosine-decayed adam with global-norm clipping: sine networks keep
+    # refining as the step size anneals, and clipping prevents the
+    # mid-training collapse long fits otherwise hit on hard targets
+    # (observed: a 12k-step robot fit whose loss ended above its start)
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adam(optax.cosine_decay_schedule(lr, steps, alpha=0.05)))
 
     def value_fn(p, pts):
         return mlp_forward(p, feats_fn(pts), w0=w0,
