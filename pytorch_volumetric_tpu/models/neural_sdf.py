@@ -49,6 +49,25 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
+# persistence (npz, like every other cache in the library — SURVEY §5)
+# ---------------------------------------------------------------------------
+
+def _params_to_arrays(params) -> dict:
+    out = {}
+    for i, (W, b) in enumerate(params):
+        out[f"W{i}"] = np.asarray(W)
+        out[f"b{i}"] = np.asarray(b)
+    out["n_layers"] = np.asarray(len(params))
+    return out
+
+
+def _params_from_arrays(d) -> list:
+    n = int(d["n_layers"])
+    return [(jnp.asarray(d[f"W{i}"]), jnp.asarray(d[f"b{i}"]))
+            for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
 # network
 # ---------------------------------------------------------------------------
 
@@ -234,6 +253,23 @@ class NeuralSDF(ObjectFrameSDF):
         bb[:, 1] += padding + padding_ratio * extents
         return jnp.asarray(bb)
 
+    def save(self, path: str) -> None:
+        """Persist weights + metadata to ``.npz`` (fits are minutes of TPU
+        time; like the voxel caches, never retrain in a warm restart)."""
+        np.savez_compressed(path, kind="neural_sdf", w0=self.w0,
+                            fourier_B=np.asarray(self.fourier_B),
+                            bounds=self.bounds,
+                            bf16=self.compute_dtype == jnp.bfloat16,
+                            **_params_to_arrays(self.params))
+
+    @classmethod
+    def load(cls, path: str) -> "NeuralSDF":
+        with np.load(path, allow_pickle=False) as d:
+            return cls(_params_from_arrays(d), jnp.asarray(d["fourier_B"]),
+                       np.asarray(d["bounds"]), w0=float(d["w0"]),
+                       compute_dtype=jnp.bfloat16 if bool(d["bf16"])
+                       else jnp.float32)
+
 
 def fit_neural_sdf(gt_sdf: ObjectFrameSDF, key, padding: float = 0.1,
                    width: int = 128, depth: int = 4, fourier: int = 64,
@@ -346,6 +382,24 @@ class ConfigSpaceNeuralSDF:
         bb[:, 0] -= padding + padding_ratio * extents
         bb[:, 1] += padding + padding_ratio * extents
         return jnp.asarray(bb)
+
+    def save(self, path: str) -> None:
+        """Persist weights + metadata to ``.npz`` (see :meth:`NeuralSDF.save`)."""
+        np.savez_compressed(path, kind="config_space_neural_sdf", w0=self.w0,
+                            fourier_B=np.asarray(self.fourier_B),
+                            q_lo=np.asarray(self.q_lo),
+                            q_hi=np.asarray(self.q_hi), bounds=self.bounds,
+                            bf16=self.compute_dtype == jnp.bfloat16,
+                            **_params_to_arrays(self.params))
+
+    @classmethod
+    def load(cls, path: str) -> "ConfigSpaceNeuralSDF":
+        with np.load(path, allow_pickle=False) as d:
+            return cls(_params_from_arrays(d), jnp.asarray(d["fourier_B"]),
+                       np.asarray(d["q_lo"]), np.asarray(d["q_hi"]),
+                       np.asarray(d["bounds"]), w0=float(d["w0"]),
+                       compute_dtype=jnp.bfloat16 if bool(d["bf16"])
+                       else jnp.float32)
 
 
 def fit_config_space_sdf(robot_sdf, key, joint_limits=None,

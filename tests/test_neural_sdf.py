@@ -109,3 +109,31 @@ def test_config_space_sdf_q_differentiable(arm_fit):
     g = jax.grad(loss)(jnp.asarray([0.3, -0.2], dtype=jnp.float32))
     assert g.shape == (2,) and bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_neural_sdf_save_load(sphere_fit, tmp_path):
+    _, model, _ = sphere_fit
+    p = str(tmp_path / "m.npz")
+    model.save(p)
+    loaded = NeuralSDF.load(p)
+    pts = jnp.asarray(np.random.default_rng(5).uniform(-0.5, 0.5, (64, 3)),
+                      dtype=jnp.float32)
+    v0, g0 = model(pts)
+    v1, g1 = loaded(pts)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_config_space_sdf_save_load(arm_fit, tmp_path):
+    _, model, _ = arm_fit
+    p = str(tmp_path / "c.npz")
+    model.save(p)
+    loaded = ConfigSpaceNeuralSDF.load(p)
+    q = jnp.asarray([[0.2, -0.4]], dtype=jnp.float32)
+    pts = jnp.asarray(np.random.default_rng(6).uniform(-0.4, 0.4, (32, 3)),
+                      dtype=jnp.float32)
+    v0, _ = model.set_joint_configuration(q)(pts)
+    v1, _ = loaded.set_joint_configuration(q)(pts)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(loaded.q_lo),
+                                  np.asarray(model.q_lo))
