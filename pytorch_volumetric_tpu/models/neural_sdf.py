@@ -67,6 +67,14 @@ def _params_from_arrays(d) -> list:
             for i in range(n)]
 
 
+def _check_kind(d, expected: str, path: str) -> None:
+    kind = str(d["kind"]) if "kind" in d else "<missing>"
+    if kind != expected:
+        raise ValueError(
+            f"{path} holds a '{kind}' model, not a '{expected}' "
+            f"(use the matching class's .load)")
+
+
 # ---------------------------------------------------------------------------
 # network
 # ---------------------------------------------------------------------------
@@ -195,8 +203,12 @@ def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
 
     N = x.shape[0]
 
+    # the dataset rides in as jit ARGUMENTS, not closure constants: baked-in
+    # constants duplicate HBM and bloat the persistent compile cache at
+    # large n_samples (repo rule: CLAUDE.md "no GB-scale jit closure
+    # constants")
     @jax.jit
-    def train(params, key):
+    def train(params, key, x, v, g):
         opt_state = opt.init(params)
 
         def body(carry, k):
@@ -212,7 +224,7 @@ def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
             body, (params, opt_state), jax.random.split(key, steps))
         return params, losses
 
-    return train(params, key)
+    return train(params, key, x, v, g)
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +235,10 @@ class NeuralSDF(ObjectFrameSDF):
     """MLP SDF ``f(x) -> d`` (query-side object; build with
     :func:`fit_neural_sdf`).  ``raw_query`` returns the autodiff gradient of
     the learned field, so ``(val, grad)`` are analytically consistent."""
+
+    # learned fields are not eikonal-constrained between training samples;
+    # utils.debug.checked_query reads this instead of the unit bound
+    max_grad_norm_hint = 10.0
 
     def __init__(self, params, fourier_B: jnp.ndarray, bounds,
                  w0: float = 30.0, compute_dtype=jnp.float32):
@@ -265,6 +281,7 @@ class NeuralSDF(ObjectFrameSDF):
     @classmethod
     def load(cls, path: str) -> "NeuralSDF":
         with np.load(path, allow_pickle=False) as d:
+            _check_kind(d, "neural_sdf", path)
             return cls(_params_from_arrays(d), jnp.asarray(d["fourier_B"]),
                        np.asarray(d["bounds"]), w0=float(d["w0"]),
                        compute_dtype=jnp.bfloat16 if bool(d["bf16"])
@@ -357,22 +374,25 @@ class ConfigSpaceNeuralSDF:
 
     # -- RobotSDF-compatible surface ---------------------------------------
     def set_joint_configuration(self, joint_config):
-        q = as_float_array(joint_config)
-        if q.ndim == 1:
-            q = q[None]
-        self._q = q
+        """Accepts ``[A×]M`` like ``RobotSDF.set_joint_configuration``
+        (arbitrary leading batch dims, or none)."""
+        self._q = as_float_array(joint_config)
         return self
 
     def __call__(self, points_in_object_frame):
+        """Matches ``RobotSDF.__call__`` shape contract: a 1-D joint config
+        yields ``[B×]N`` outputs (no config dim), an ``[A×]M`` config yields
+        ``[A×][B×]N``."""
         if self._q is None:
             raise RuntimeError("call set_joint_configuration first")
         pts = as_float_array(points_in_object_frame)
         pts_batch = pts.shape[:-1]
         flat = pts.reshape(-1, 3)
+        A = self._q.shape[:-1]  # () for a single 1-D configuration
+        q2 = self._q.reshape(-1, self._q.shape[-1])
         if self._query_jit is None:
             self._query_jit = jax.jit(self.query)
-        val, grad = self._query_jit(self._q, flat)
-        A = self._q.shape[:-1]
+        val, grad = self._query_jit(q2, flat)
         return (val.reshape(A + pts_batch),
                 grad.reshape(A + pts_batch + (3,)))
 
@@ -395,6 +415,7 @@ class ConfigSpaceNeuralSDF:
     @classmethod
     def load(cls, path: str) -> "ConfigSpaceNeuralSDF":
         with np.load(path, allow_pickle=False) as d:
+            _check_kind(d, "config_space_neural_sdf", path)
             return cls(_params_from_arrays(d), jnp.asarray(d["fourier_B"]),
                        np.asarray(d["q_lo"]), np.asarray(d["q_hi"]),
                        np.asarray(d["bounds"]), w0=float(d["w0"]),
@@ -440,17 +461,20 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
 
     # one batched oracle sweep: uniform points (shared across configs), then
     # per-config near-surface refinement via the exact gradient projection
-    n_near = min(int(pts_per_config * near_fraction),
-                 pts_per_config - int(pts_per_config * near_fraction))
+    # (dedicated seed points, so near_fraction may take any value in [0, 1))
+    n_near = int(pts_per_config * near_fraction)
     n_uni = pts_per_config - n_near
+    k_x2 = jax.random.fold_in(k_x, 1)
     xu = jax.random.uniform(k_x, (n_uni, 3), minval=lo, maxval=hi,
                             dtype=jnp.float32)
     vu, gu = robot_sdf(xu)                     # [A, n_uni], [A, n_uni, 3]
-    seeds = xu[None, :n_near]
-    surf = seeds - vu[:, :n_near, None] * gu[:, :n_near]
+    seeds = jax.random.uniform(k_x2, (n_near, 3), minval=lo, maxval=hi,
+                               dtype=jnp.float32)
+    vs, gs = robot_sdf(seeds)                  # [A, n_near], [A, n_near, 3]
+    surf = seeds[None] - vs[..., None] * gs
     eps = near_sigma * jax.random.normal(k_p, (n_configs, n_near, 1),
                                          dtype=jnp.float32)
-    xn = jnp.clip(surf + eps * gu[:, :n_near], lo, hi)   # [A, n_near, 3]
+    xn = jnp.clip(surf + eps * gs, lo, hi)     # [A, n_near, 3]
     vn, gn = _per_config_query(robot_sdf, qs, xn)
 
     x_all = jnp.concatenate(

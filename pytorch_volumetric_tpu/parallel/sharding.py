@@ -58,10 +58,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
                                    process_id=process_id,
                                    local_device_ids=local_device_ids)
     except RuntimeError as e:
-        # keep idempotent: already initialized, or the XLA backend is already
-        # up in-process (single-process interactive/test sessions)
         msg = str(e).lower()
-        if "already" not in msg and "must be called before" not in msg:
+        # "already"/"once": repeat call after successful init — idempotent
+        # no-op.  "must be called before": the XLA backend is already up
+        # in-process; benign for auto-detected single-process sessions, but
+        # a REAL error when the caller explicitly requested a multi-host
+        # setup we can no longer honor.
+        repeat_call = "already" in msg or "once" in msg
+        backend_up = "must be called before" in msg
+        if not (repeat_call or (backend_up and not explicit)):
             raise
     except ValueError:
         # auto-detection from a cluster-looking environment came up short

@@ -26,6 +26,10 @@ from jax.experimental import checkify
 
 # SDF gradients are unit directions (analytic paths) or interpolations of
 # unit directions (trilinear caches), so anything much above 1 is a bug.
+# Learned fields (models.NeuralSDF) are NOT eikonal-constrained between
+# training samples; they advertise a looser bound via the
+# ``max_grad_norm_hint`` class attribute, which :func:`checked_query`
+# honors when the caller does not pass an explicit bound.
 DEFAULT_MAX_GRAD_NORM = 1.0 + 1e-3
 
 
@@ -54,7 +58,7 @@ def guarded_raw_query(raw_query: Callable,
     return checked
 
 
-def checked_query(sdf, max_grad_norm: float = DEFAULT_MAX_GRAD_NORM,
+def checked_query(sdf, max_grad_norm: float = None,
                   throw: bool = True) -> Callable:
     """Self-checking version of ``sdf.raw_query`` (any ``ObjectFrameSDF``).
 
@@ -62,7 +66,14 @@ def checked_query(sdf, max_grad_norm: float = DEFAULT_MAX_GRAD_NORM,
     ``checkify.JaxRuntimeError`` when a guard trips (one host sync per call).
     With ``throw=False`` returns the raw checkified
     ``fn(pts) -> (err, (val, grad))`` — jit/vmap/shard it freely and decide
-    when to pay the sync."""
+    when to pay the sync.
+
+    ``max_grad_norm`` defaults to the SDF's ``max_grad_norm_hint`` attribute
+    if present (learned fields set a loose bound), else the unit-direction
+    bound exact fields must satisfy."""
+    if max_grad_norm is None:
+        max_grad_norm = getattr(sdf, "max_grad_norm_hint",
+                                DEFAULT_MAX_GRAD_NORM)
     raw = sdf.raw_query if hasattr(sdf, "raw_query") else sdf
     fn = checkify.checkify(guarded_raw_query(raw, max_grad_norm))
     if not throw:

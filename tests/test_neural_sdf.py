@@ -137,3 +137,40 @@ def test_config_space_sdf_save_load(arm_fit, tmp_path):
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(loaded.q_lo),
                                   np.asarray(model.q_lo))
+
+
+def test_config_space_1d_config_matches_robot_sdf_contract(arm_fit):
+    """A 1-D joint config must yield outputs with NO leading config dim,
+    exactly like RobotSDF (reference model_to_sdf.py:117-125 semantics);
+    extra leading batch dims are preserved."""
+    _, model, _ = arm_fit
+    pts = jnp.zeros((5, 3))
+    v, g = model.set_joint_configuration(jnp.asarray([0.1, 0.2]))(pts)
+    assert v.shape == (5,) and g.shape == (5, 3)
+    v2, g2 = model.set_joint_configuration(jnp.zeros((2, 3, 2)))(pts)
+    assert v2.shape == (2, 3, 5) and g2.shape == (2, 3, 5, 3)
+
+
+def test_load_kind_mismatch_raises(sphere_fit, arm_fit, tmp_path):
+    _, sphere_model, _ = sphere_fit
+    _, arm_model, _ = arm_fit
+    ps = str(tmp_path / "s.npz")
+    pc = str(tmp_path / "c.npz")
+    sphere_model.save(ps)
+    arm_model.save(pc)
+    with pytest.raises(ValueError, match="neural_sdf"):
+        NeuralSDF.load(pc)
+    with pytest.raises(ValueError, match="config_space"):
+        ConfigSpaceNeuralSDF.load(ps)
+
+
+def test_checked_query_on_neural_model(sphere_fit):
+    """The checkify sanitizer honors the learned field's looser gradient
+    bound instead of spuriously tripping the unit-direction check."""
+    from pytorch_volumetric_tpu.utils.debug import checked_query
+
+    _, model, _ = sphere_fit
+    pts = jnp.asarray(np.random.default_rng(9).uniform(-0.6, 0.6, (128, 3)),
+                      dtype=jnp.float32)
+    v, g = checked_query(model)(pts)
+    assert v.shape == (128,)
