@@ -403,6 +403,17 @@ class ConfigSpaceNeuralSDF:
         bb[:, 1] += padding + padding_ratio * extents
         return jnp.asarray(bb)
 
+    def at_config(self, joint_config) -> "_ConfigBoundSDF":
+        """The field at one fixed configuration, as a first-class
+        :class:`~pytorch_volumetric_tpu.sdf.ObjectFrameSDF` — every protocol
+        tool (``draw_sdf_slice``, ``get_voxel_view``, ``get_filtered_points``,
+        ``outside_surface``, chamfer metrics) works on it directly."""
+        q = as_float_array(joint_config)
+        if q.ndim != 1:
+            raise ValueError(f"at_config takes a single [M] configuration, "
+                             f"got shape {q.shape}")
+        return _ConfigBoundSDF(self, q)
+
     def save(self, path: str) -> None:
         """Persist weights + metadata to ``.npz`` (see :meth:`NeuralSDF.save`)."""
         np.savez_compressed(path, kind="config_space_neural_sdf", w0=self.w0,
@@ -421,6 +432,26 @@ class ConfigSpaceNeuralSDF:
                        np.asarray(d["bounds"]), w0=float(d["w0"]),
                        compute_dtype=jnp.bfloat16 if bool(d["bf16"])
                        else jnp.float32)
+
+
+class _ConfigBoundSDF(ObjectFrameSDF):
+    """``ConfigSpaceNeuralSDF`` pinned to one joint configuration (see
+    :meth:`ConfigSpaceNeuralSDF.at_config`)."""
+
+    max_grad_norm_hint = NeuralSDF.max_grad_norm_hint
+
+    def __init__(self, model: ConfigSpaceNeuralSDF, q: jnp.ndarray):
+        self.model = model
+        self.q = q
+
+    def raw_query(self, points):
+        val, vjp = jax.vjp(lambda p: self.model.value(self.q, p), points)
+        grad, = vjp(jnp.ones_like(val))
+        return val, grad
+
+    def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
+        return self.model.surface_bounding_box(padding=padding,
+                                               padding_ratio=padding_ratio)
 
 
 def fit_config_space_sdf(robot_sdf, key, joint_limits=None,

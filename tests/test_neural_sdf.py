@@ -174,3 +174,25 @@ def test_checked_query_on_neural_model(sphere_fit):
                       dtype=jnp.float32)
     v, g = checked_query(model)(pts)
     assert v.shape == (128,)
+
+
+def test_at_config_is_object_frame_sdf(arm_fit):
+    """at_config pins the field to one q and plugs into the full
+    ObjectFrameSDF toolkit (slice drawing, voxel views, filtered points)."""
+    robot, model, _ = arm_fit
+    bound = model.at_config(jnp.asarray([0.3, -0.1]))
+    assert isinstance(bound, pv.ObjectFrameSDF)
+    pts = jnp.zeros((2, 6, 3))
+    v, g = bound(pts)
+    assert v.shape == (2, 6) and g.shape == (2, 6, 3)
+    # matches the batched query API at the same configuration
+    v2, _ = model.set_joint_configuration(jnp.asarray([0.3, -0.1]))(pts)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-6)
+    # a protocol tool built on raw_query works end-to-end
+    from pytorch_volumetric_tpu.visualization import draw_sdf_slice
+    out = draw_sdf_slice(
+        bound, np.array([[-0.4, 0.4], [0.0, 0.0], [-0.3, 0.3]]),
+        resolution=0.1, do_plot=False)
+    assert np.isfinite(np.asarray(out[0])).all()
+    with pytest.raises(ValueError, match="single"):
+        model.at_config(jnp.zeros((2, 2)))
