@@ -38,6 +38,9 @@ def main():
                     help="training configurations sampled from the oracle "
                          "(config-space coverage is the usual accuracy limiter)")
     ap.add_argument("--pts", type=int, default=2048)
+    ap.add_argument("--act", default="sine", choices=["sine", "relu"],
+                    help="hidden activation: relu trades a little gradient "
+                         "smoothness for ~2x query speed (no transcendentals)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmuls (f32 accumulation)")
     ap.add_argument("--cpu", action="store_true")
@@ -73,7 +76,8 @@ def main():
     model, losses = fit_config_space_sdf(
         robot, key=0, width=args.width, depth=args.depth, fourier=96,
         n_configs=args.configs, pts_per_config=args.pts, steps=args.steps,
-        batch=8192, lr=1e-3, compute_dtype=compute_dtype)
+        batch=8192, lr=1e-3, compute_dtype=compute_dtype,
+        activation=args.act)
     l = np.asarray(losses)
     qtr = [round(float(l[max(0, i * len(l) // 4 - 25):
                          i * len(l) // 4 + 25].mean()), 4) for i in range(1, 4)]
@@ -109,7 +113,7 @@ def main():
     log(f"neural value-only: {tv * 1e3:.2f} ms -> {N * M / tv / 1e6:.1f}M q/s")
     log(f"(exact cached coherent path on this workload: see bench.py; "
         f"dtype={'bf16' if args.bf16 else 'f32'}, width={args.width}, "
-        f"depth={args.depth})")
+        f"depth={args.depth}, act={args.act})")
 
 
 if __name__ == "__main__":

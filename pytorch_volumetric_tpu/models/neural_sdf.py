@@ -91,30 +91,50 @@ def fourier_features(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 
 
 def mlp_init(key, in_dim: int, width: int, depth: int, out_dim: int = 1,
-             w0: float = 30.0):
-    """SIREN-style init (Sitzmann et al.): first layer ``U(-1/in, 1/in)``
-    scaled by ``w0`` at apply time, hidden layers ``U(-sqrt(6/n)/w0,
-    sqrt(6/n)/w0)`` so post-activation statistics stay stationary."""
+             w0: float = 30.0, activation: str = "sine"):
+    """``activation="sine"``: SIREN-style init (Sitzmann et al.) — first
+    layer ``U(-1/in, 1/in)`` scaled by ``w0`` at apply time, hidden layers
+    ``U(-sqrt(6/n)/w0, sqrt(6/n)/w0)`` so post-activation statistics stay
+    stationary.  ``activation="relu"``: He-normal init (the Fourier lift
+    supplies the frequency content; Tancik et al.)."""
     keys = jax.random.split(key, depth)
     params = []
     dims = [in_dim] + [width] * (depth - 1) + [out_dim]
     for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
-        if i == 0:
-            bound = 1.0 / din
+        if activation == "relu":
+            if i == depth - 1:
+                # small final layer: a He-scaled output head makes the
+                # initial value/gradient loss enormous, and the clipped
+                # optimizer then collapses the fit to a near-constant
+                bound = math.sqrt(6.0 / din) / w0
+                W = jax.random.uniform(keys[i], (din, dout), minval=-bound,
+                                       maxval=bound, dtype=jnp.float32)
+            else:
+                W = (math.sqrt(2.0 / din) * jax.random.normal(
+                    keys[i], (din, dout), dtype=jnp.float32))
         else:
-            bound = math.sqrt(6.0 / din) / w0
-        W = jax.random.uniform(keys[i], (din, dout), minval=-bound,
-                               maxval=bound, dtype=jnp.float32)
+            if i == 0:
+                bound = 1.0 / din
+            else:
+                bound = math.sqrt(6.0 / din) / w0
+            W = jax.random.uniform(keys[i], (din, dout), minval=-bound,
+                                   maxval=bound, dtype=jnp.float32)
         b = jnp.zeros((dout,), dtype=jnp.float32)
         params.append((W, b))
     return params
 
 
 def mlp_forward(params, x: jnp.ndarray, w0: float = 30.0,
-                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Sine-activated MLP ``[.., in_dim] -> [..]``.  ``compute_dtype=
-    jnp.bfloat16`` runs the matmuls on the MXU in bf16 with f32
-    accumulation (the last layer stays f32 — distances need the mantissa).
+                compute_dtype=jnp.float32,
+                activation: str = "sine") -> jnp.ndarray:
+    """MLP ``[.., in_dim] -> [..]``.  ``compute_dtype=jnp.bfloat16`` runs
+    the matmuls on the MXU in bf16 with f32 accumulation (the last layer
+    stays f32 — distances need the mantissa).
+
+    ``activation``: ``"sine"`` (SIREN; smoothest fields) or ``"relu"``
+    (~2x faster queries on TPU — transcendentals dominate the sine net's
+    cost, measured 33.5 ms vs 8.1 ms for the bare matmul chain at 3M
+    points — at slightly less smooth gradients).
 
     With f32 compute the matmuls request ``Precision.HIGHEST``: the TPU
     default decomposes f32 matmuls into bf16 passes, whose noise a sine
@@ -122,13 +142,12 @@ def mlp_forward(params, x: jnp.ndarray, w0: float = 30.0,
     TPU that converge on CPU)."""
     f32 = compute_dtype == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32 else None
+    relu = activation == "relu"
     h = x.astype(compute_dtype)
     for i, (W, b) in enumerate(params[:-1]):
-        scale = w0 if i == 0 else 1.0
-        h = jnp.sin(scale * (jnp.dot(h, W.astype(compute_dtype),
-                                     precision=prec,
-                                     preferred_element_type=jnp.float32)
-                             + b))
+        z = jnp.dot(h, W.astype(compute_dtype), precision=prec,
+                    preferred_element_type=jnp.float32) + b
+        h = jax.nn.relu(z) if relu else jnp.sin((w0 if i == 0 else 1.0) * z)
         h = h.astype(compute_dtype)
     W, b = params[-1]
     out = jnp.dot(h.astype(jnp.float32), W,
@@ -171,7 +190,8 @@ def _sample_dataset(gt_sdf, key, bounds: np.ndarray, n_uniform: int,
 
 
 def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
-         grad_weight: float, w0: float, compute_dtype):
+         grad_weight: float, w0: float, compute_dtype,
+         activation: str = "sine"):
     """Adam on ``|f - d|² + grad_weight·|∇f - ∇d|²`` over random minibatches,
     one jitted ``lax.scan`` over steps (single dispatch).
 
@@ -191,7 +211,8 @@ def _fit(params, feats_fn, key, x, v, g, steps: int, batch: int, lr: float,
 
     def value_fn(p, pts):
         return mlp_forward(p, feats_fn(pts), w0=w0,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           activation=activation)
 
     def loss_fn(p, pts, d, dg):
         def scalar(pt):
@@ -241,11 +262,13 @@ class NeuralSDF(ObjectFrameSDF):
     max_grad_norm_hint = 10.0
 
     def __init__(self, params, fourier_B: jnp.ndarray, bounds,
-                 w0: float = 30.0, compute_dtype=jnp.float32):
+                 w0: float = 30.0, compute_dtype=jnp.float32,
+                 activation: str = "sine"):
         self.params = params
         self.fourier_B = fourier_B
         self.bounds = np.asarray(bounds)
         self.w0 = w0
+        self.activation = activation
         self.compute_dtype = compute_dtype
 
     def _features(self, pts):
@@ -255,7 +278,8 @@ class NeuralSDF(ObjectFrameSDF):
         """Values only — one pass, no VJP (cheapest; use for collision
         checks where gradients are unused)."""
         return mlp_forward(self.params, self._features(pts), w0=self.w0,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           activation=self.activation)
 
     def raw_query(self, points):
         val, vjp = jax.vjp(self.value, points)
@@ -273,6 +297,7 @@ class NeuralSDF(ObjectFrameSDF):
         """Persist weights + metadata to ``.npz`` (fits are minutes of TPU
         time; like the voxel caches, never retrain in a warm restart)."""
         np.savez_compressed(path, kind="neural_sdf", w0=self.w0,
+                            activation=self.activation,
                             fourier_B=np.asarray(self.fourier_B),
                             bounds=self.bounds,
                             bf16=self.compute_dtype == jnp.bfloat16,
@@ -285,13 +310,15 @@ class NeuralSDF(ObjectFrameSDF):
             return cls(_params_from_arrays(d), jnp.asarray(d["fourier_B"]),
                        np.asarray(d["bounds"]), w0=float(d["w0"]),
                        compute_dtype=jnp.bfloat16 if bool(d["bf16"])
-                       else jnp.float32)
+                       else jnp.float32,
+                       activation=str(d["activation"]) if "activation" in d
+                       else "sine")
 
 
 def fit_neural_sdf(gt_sdf: ObjectFrameSDF, key, padding: float = 0.1,
                    width: int = 128, depth: int = 4, fourier: int = 64,
                    fourier_scale: float = 1.5, w0: float = 30.0,
-                   n_samples: int = 200_000, near_fraction: float = 0.5,
+                   activation: str = "sine", n_samples: int = 200_000, near_fraction: float = 0.5,
                    near_sigma: float = 0.02, steps: int = 2000,
                    batch: int = 8192, lr: float = 2e-4,
                    grad_weight: float = 0.1, compute_dtype=jnp.float32
@@ -312,12 +339,14 @@ def fit_neural_sdf(gt_sdf: ObjectFrameSDF, key, padding: float = 0.1,
     n_near = int(n_samples * near_fraction)
     x, v, g = _sample_dataset(gt_sdf, k_d, bounds, n_samples - n_near,
                               n_near, near_sigma)
-    params = mlp_init(k_i, 2 * fourier, width, depth, w0=w0)
+    params = mlp_init(k_i, 2 * fourier, width, depth, w0=w0,
+                      activation=activation)
     feats = lambda pts: fourier_features(pts, B)
     params, losses = _fit(params, feats, k_t, x, v, g, steps, batch, lr,
-                          grad_weight, w0, compute_dtype)
+                          grad_weight, w0, compute_dtype, activation)
     return NeuralSDF(params, B, bounds, w0=w0,
-                     compute_dtype=compute_dtype), losses
+                     compute_dtype=compute_dtype,
+                     activation=activation), losses
 
 
 # ---------------------------------------------------------------------------
@@ -337,13 +366,15 @@ class ConfigSpaceNeuralSDF:
     differentiates through FK + voxel fields instead)."""
 
     def __init__(self, params, fourier_B, q_lo, q_hi, bounds,
-                 w0: float = 30.0, compute_dtype=jnp.float32):
+                 w0: float = 30.0, compute_dtype=jnp.float32,
+                 activation: str = "sine"):
         self.params = params
         self.fourier_B = fourier_B
         self.q_lo = jnp.asarray(q_lo, dtype=jnp.float32)
         self.q_hi = jnp.asarray(q_hi, dtype=jnp.float32)
         self.bounds = np.asarray(bounds)
         self.w0 = w0
+        self.activation = activation
         self.compute_dtype = compute_dtype
         self._q = None
         self._query_jit = None
@@ -359,7 +390,8 @@ class ConfigSpaceNeuralSDF:
     def value(self, q: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         """``f(q [M], pts [.., 3]) -> [..]`` — values only, one pass."""
         return mlp_forward(self.params, self._features(q, pts), w0=self.w0,
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           activation=self.activation)
 
     def query(self, q: jnp.ndarray, pts: jnp.ndarray):
         """``(q [A, M], pts [N, 3]) -> (val [A, N], grad [A, N, 3])`` with
@@ -417,6 +449,7 @@ class ConfigSpaceNeuralSDF:
     def save(self, path: str) -> None:
         """Persist weights + metadata to ``.npz`` (see :meth:`NeuralSDF.save`)."""
         np.savez_compressed(path, kind="config_space_neural_sdf", w0=self.w0,
+                            activation=self.activation,
                             fourier_B=np.asarray(self.fourier_B),
                             q_lo=np.asarray(self.q_lo),
                             q_hi=np.asarray(self.q_hi), bounds=self.bounds,
@@ -431,7 +464,9 @@ class ConfigSpaceNeuralSDF:
                        np.asarray(d["q_lo"]), np.asarray(d["q_hi"]),
                        np.asarray(d["bounds"]), w0=float(d["w0"]),
                        compute_dtype=jnp.bfloat16 if bool(d["bf16"])
-                       else jnp.float32)
+                       else jnp.float32,
+                       activation=str(d["activation"]) if "activation" in d
+                       else "sine")
 
 
 class _ConfigBoundSDF(ObjectFrameSDF):
@@ -458,7 +493,7 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
                          workspace_bounds=None, padding: float = 0.2,
                          width: int = 256, depth: int = 5, fourier: int = 96,
                          fourier_scale: float = 1.5, w0: float = 30.0,
-                         n_configs: int = 256, pts_per_config: int = 2048,
+                         activation: str = "sine", n_configs: int = 256, pts_per_config: int = 2048,
                          near_fraction: float = 0.5, near_sigma: float = 0.02,
                          steps: int = 4000, batch: int = 8192, lr: float = 2e-4,
                          grad_weight: float = 0.1, compute_dtype=jnp.float32
@@ -523,8 +558,10 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
     B = fourier_scale / extent * jax.random.normal(k_b, (3, fourier),
                                                    dtype=jnp.float32)
     model = ConfigSpaceNeuralSDF(None, B, q_lo, q_hi, workspace_bounds,
-                                 w0=w0, compute_dtype=compute_dtype)
-    params = mlp_init(k_i, M + 2 * fourier, width, depth, w0=w0)
+                                 w0=w0, compute_dtype=compute_dtype,
+                                 activation=activation)
+    params = mlp_init(k_i, M + 2 * fourier, width, depth, w0=w0,
+                      activation=activation)
 
     # fold q into the feature function by training on the concatenated
     # (q, x) dataset: reuse the generic _fit over a combined input
@@ -535,7 +572,8 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
         return model._features(q_b, x_b)
 
     params, losses = _fit(params, feats, k_t, qx, v, g,
-                          steps, batch, lr, grad_weight, w0, compute_dtype)
+                          steps, batch, lr, grad_weight, w0, compute_dtype,
+                          activation)
     model.params = params
     return model, losses
 
