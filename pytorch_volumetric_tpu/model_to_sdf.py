@@ -164,6 +164,15 @@ class RobotSDF(sdf.ObjectFrameSDF):
         out_batch = q_batch + pts_batch
         return vv.reshape(out_batch), gg.reshape(out_batch + (3,))
 
+    def distill(self, key=0, **fit_kwargs):
+        """Distill this exact robot SDF into a learned configuration-space
+        field (``models.ConfigSpaceNeuralSDF``) with MXU-bound query cost —
+        see :func:`pytorch_volumetric_tpu.models.fit_config_space_sdf` for
+        the knobs.  Returns ``(model, losses)``; this object remains the
+        oracle/fallback."""
+        from pytorch_volumetric_tpu.models import fit_config_space_sdf
+        return fit_config_space_sdf(self, key, **fit_kwargs)
+
     def query_grid(self, joint_config, query_range, resolution):
         """Fused differentiable query over a regular world-frame grid, routed
         through the segmented brick-gather fast path (one 4x4x4 voxel brick

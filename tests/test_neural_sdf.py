@@ -196,3 +196,13 @@ def test_at_config_is_object_frame_sdf(arm_fit):
     assert np.isfinite(np.asarray(out[0])).all()
     with pytest.raises(ValueError, match="single"):
         model.at_config(jnp.zeros((2, 2)))
+
+
+def test_robot_distill_convenience(arm_fit):
+    """RobotSDF.distill is discoverable sugar for fit_config_space_sdf."""
+    robot, _, _ = arm_fit
+    model, losses = robot.distill(key=1, width=32, depth=3, fourier=16,
+                                  n_configs=8, pts_per_config=64, steps=20,
+                                  batch=128)
+    assert isinstance(model, ConfigSpaceNeuralSDF)
+    assert losses.shape == (20,)
