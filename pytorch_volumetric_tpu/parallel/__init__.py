@@ -1,6 +1,6 @@
 from pytorch_volumetric_tpu.parallel.sharding import (
     CONFIG_AXIS, POINT_AXIS, init_distributed, make_device_mesh,
     sharded_robot_query, sharded_robot_query_coherent, sharded_sdf_query,
-    make_collision_step,
+    sharded_neural_robot_query, make_collision_step,
 )
 from pytorch_volumetric_tpu.parallel.triangle_sharded import TriangleShardedMeshSDF

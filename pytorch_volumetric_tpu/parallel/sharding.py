@@ -156,6 +156,21 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
     )
 
 
+def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:
+    """Shard a learned configuration-space field
+    (``models.ConfigSpaceNeuralSDF``) like :func:`sharded_robot_query`:
+    configs over ``config``, points over ``point``, weights replicated.
+    The forward is pure MXU matmuls, so scaling is embarrassingly parallel;
+    returns ``fn(q [A, M], pts [P, 3]) -> (val [A, P], grad [A, P, 3])``."""
+    return jax.jit(
+        model.query,
+        in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
+                      NamedSharding(mesh, P(POINT_AXIS, None))),
+        out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
+                       NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
+    )
+
+
 def sharded_sdf_query(sdf, mesh: Mesh) -> Callable:
     """Shard a plain ``ObjectFrameSDF`` query's flat point batch across every
     device of the mesh (both axes)."""

@@ -189,3 +189,33 @@ def test_init_distributed_single_process_noop():
     idx, count = par.init_distributed()
     assert idx == 0 and count == 1
     assert par.init_distributed() == (0, 1)
+
+
+def test_sharded_neural_robot_query(tmp_path):
+    """Learned config-space field sharded over the (config, point) mesh
+    matches the unsharded query."""
+    import numpy as np
+
+    import pytorch_volumetric_tpu as pv
+    import pytorch_volumetric_tpu.parallel as par
+    from pytorch_volumetric_tpu.models import fit_config_space_sdf
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    d = str(tmp_path)
+    urdf, end = make_serial_arm(d, num_joints=2, segments=6, rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf).read(), end)
+    robot = pv.RobotSDF(chain, path_prefix=d)
+    model, _ = fit_config_space_sdf(robot, key=0, width=32, depth=3,
+                                    fourier=16, n_configs=8,
+                                    pts_per_config=64, steps=30, batch=128)
+    mesh = par.make_device_mesh(n_config=4, n_point=2)
+    fn = par.sharded_neural_robot_query(model, mesh)
+    q = jnp.asarray(np.random.default_rng(0).uniform(-0.5, 0.5, (4, 2)),
+                    dtype=jnp.float32)
+    pts = jnp.asarray(np.random.default_rng(1).uniform(-0.4, 0.4, (16, 3)),
+                      dtype=jnp.float32)
+    v, g = fn(q, pts)
+    v0, g0 = model.query(q, pts)
+    assert v.shape == (4, 16) and g.shape == (4, 16, 3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=1e-5)
