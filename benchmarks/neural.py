@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--pts", type=int, default=2048)
     ap.add_argument("--act", default="sine", choices=["sine", "relu"],
                     help="hidden activation: relu trades a little gradient "
-                         "smoothness for ~2x query speed (no transcendentals)")
+                         "smoothness for ~4x query speed (no transcendentals)")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 matmuls (f32 accumulation)")
     ap.add_argument("--cpu", action="store_true")

@@ -79,6 +79,15 @@ def _check_kind(d, expected: str, path: str) -> None:
 # network
 # ---------------------------------------------------------------------------
 
+_ACTIVATIONS = ("sine", "relu")
+
+
+def _check_activation(activation: str) -> None:
+    if activation not in _ACTIVATIONS:
+        raise ValueError(f"activation must be one of {_ACTIVATIONS}, "
+                         f"got {activation!r}")
+
+
 def fourier_features(x: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """Random Fourier positional features ``[.., d] -> [.., 2K]``:
     ``(sin, cos)(2π x·B)``.  Low-dimensional inputs (3D points) starve a
@@ -97,6 +106,7 @@ def mlp_init(key, in_dim: int, width: int, depth: int, out_dim: int = 1,
     ``U(-sqrt(6/n)/w0, sqrt(6/n)/w0)`` so post-activation statistics stay
     stationary.  ``activation="relu"``: He-normal init (the Fourier lift
     supplies the frequency content; Tancik et al.)."""
+    _check_activation(activation)
     keys = jax.random.split(key, depth)
     params = []
     dims = [in_dim] + [width] * (depth - 1) + [out_dim]
@@ -132,7 +142,7 @@ def mlp_forward(params, x: jnp.ndarray, w0: float = 30.0,
     stays f32 — distances need the mantissa).
 
     ``activation``: ``"sine"`` (SIREN; smoothest fields) or ``"relu"``
-    (~2x faster queries on TPU — transcendentals dominate the sine net's
+    (~4x faster queries on TPU — transcendentals dominate the sine net's
     cost, measured 33.5 ms vs 8.1 ms for the bare matmul chain at 3M
     points — at slightly less smooth gradients).
 
@@ -140,6 +150,7 @@ def mlp_forward(params, x: jnp.ndarray, w0: float = 30.0,
     default decomposes f32 matmuls into bf16 passes, whose noise a sine
     network amplifies enough to stall training (observed: diverging fits on
     TPU that converge on CPU)."""
+    _check_activation(activation)
     f32 = compute_dtype == jnp.float32
     prec = jax.lax.Precision.HIGHEST if f32 else None
     relu = activation == "relu"
@@ -318,11 +329,11 @@ class NeuralSDF(ObjectFrameSDF):
 def fit_neural_sdf(gt_sdf: ObjectFrameSDF, key, padding: float = 0.1,
                    width: int = 128, depth: int = 4, fourier: int = 64,
                    fourier_scale: float = 1.5, w0: float = 30.0,
-                   activation: str = "sine", n_samples: int = 200_000, near_fraction: float = 0.5,
+                   n_samples: int = 200_000, near_fraction: float = 0.5,
                    near_sigma: float = 0.02, steps: int = 2000,
                    batch: int = 8192, lr: float = 2e-4,
-                   grad_weight: float = 0.1, compute_dtype=jnp.float32
-                   ) -> Tuple[NeuralSDF, jnp.ndarray]:
+                   grad_weight: float = 0.1, compute_dtype=jnp.float32,
+                   activation: str = "sine") -> Tuple[NeuralSDF, jnp.ndarray]:
     """Distill ``gt_sdf`` into a :class:`NeuralSDF`; returns
     ``(model, per-step losses)``.
 
@@ -484,6 +495,21 @@ class _ConfigBoundSDF(ObjectFrameSDF):
         grad, = vjp(jnp.ones_like(val))
         return val, grad
 
+    def _jitted(self):
+        # share ONE compiled (q, pts) program across every bound view of
+        # the parent model: a per-instance jit of raw_query would bake q in
+        # as a closure constant and recompile for each new configuration
+        # (a planner calls at_config per candidate q)
+        model = self.model
+        if getattr(model, "_bound_jit", None) is None:
+            def qp(q, pts):
+                val, vjp = jax.vjp(lambda p: model.value(q, p), pts)
+                grad, = vjp(jnp.ones_like(val))
+                return val, grad
+
+            model._bound_jit = jax.jit(qp)
+        return lambda pts: model._bound_jit(self.q, pts)
+
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
         return self.model.surface_bounding_box(padding=padding,
                                                padding_ratio=padding_ratio)
@@ -493,10 +519,11 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
                          workspace_bounds=None, padding: float = 0.2,
                          width: int = 256, depth: int = 5, fourier: int = 96,
                          fourier_scale: float = 1.5, w0: float = 30.0,
-                         activation: str = "sine", n_configs: int = 256, pts_per_config: int = 2048,
+                         n_configs: int = 256, pts_per_config: int = 2048,
                          near_fraction: float = 0.5, near_sigma: float = 0.02,
                          steps: int = 4000, batch: int = 8192, lr: float = 2e-4,
-                         grad_weight: float = 0.1, compute_dtype=jnp.float32
+                         grad_weight: float = 0.1, compute_dtype=jnp.float32,
+                         activation: str = "sine"
                          ) -> Tuple[ConfigSpaceNeuralSDF, jnp.ndarray]:
     """Distill a ``RobotSDF`` into a :class:`ConfigSpaceNeuralSDF`.
 
@@ -516,6 +543,9 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
 
     qs = jax.random.uniform(k_q, (n_configs, M), minval=q_lo, maxval=q_hi,
                             dtype=jnp.float32)
+    # the oracle sweep re-poses the robot; restore the caller's
+    # configuration afterwards so distillation is side-effect free
+    q_prev = getattr(robot_sdf, "q", None)
     robot_sdf.set_joint_configuration(qs)
     if workspace_bounds is None:
         bb = np.asarray(robot_sdf.surface_bounding_box())  # [A, 3, 2]
@@ -542,6 +572,7 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
                                          dtype=jnp.float32)
     xn = jnp.clip(surf + eps * gs, lo, hi)     # [A, n_near, 3]
     vn, gn = _per_config_query(robot_sdf, qs, xn)
+    robot_sdf.set_joint_configuration(q_prev)
 
     x_all = jnp.concatenate(
         [jnp.broadcast_to(xu, (n_configs, n_uni, 3)), xn], axis=1)

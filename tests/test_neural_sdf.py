@@ -206,3 +206,41 @@ def test_robot_distill_convenience(arm_fit):
                                   batch=128)
     assert isinstance(model, ConfigSpaceNeuralSDF)
     assert losses.shape == (20,)
+
+
+def test_at_config_shares_one_compiled_program(arm_fit):
+    """Different configurations reuse one jitted (q, pts) program — no
+    per-configuration recompile (planners call at_config per candidate)."""
+    _, model, _ = arm_fit
+    pts = jnp.zeros((8, 3))
+    b1 = model.at_config(jnp.asarray([0.1, 0.2]))
+    b2 = model.at_config(jnp.asarray([-0.3, 0.4]))
+    b1(pts)
+    fn = model._bound_jit
+    n_traces = fn._cache_size()
+    b2(pts)
+    assert model._bound_jit is fn
+    # the second configuration reuses the first's trace (same shapes)
+    assert fn._cache_size() == n_traces
+
+
+def test_activation_validation():
+    from pytorch_volumetric_tpu.models import mlp_init
+
+    with pytest.raises(ValueError, match="activation"):
+        mlp_init(jax.random.PRNGKey(0), 8, 16, 3, activation="ReLU")
+
+
+def test_distill_restores_joint_configuration(arm_fit):
+    """fit_config_space_sdf re-poses the robot for the oracle sweep; the
+    caller's configuration must survive (distill is side-effect free)."""
+    robot, _, _ = arm_fit
+    q0 = jnp.asarray([0.25, -0.5])
+    robot.set_joint_configuration(q0)
+    pts = jnp.zeros((4, 3))
+    v_before, _ = robot(pts)
+    robot.distill(key=2, width=16, depth=3, fourier=8, n_configs=4,
+                  pts_per_config=32, steps=5, batch=64)
+    v_after, _ = robot(pts)
+    assert v_after.shape == v_before.shape
+    np.testing.assert_array_equal(np.asarray(v_before), np.asarray(v_after))
