@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import abc
 import enum
+import functools
 import logging
 import math
 import os
@@ -222,6 +223,19 @@ class ObjectFrameSDF(abc.ABC):
         if self._jit_cache is None:
             self._jit_cache = jax.jit(self.raw_query)
         return self._jit_cache
+
+    # -- large-table threading (see ComposedSDF.__call__) -------------------
+    def raw_query_aux(self):
+        """Pytree of big per-instance tables that should ride into compiled
+        programs as ARGUMENTS rather than captured closure constants
+        (measured on TPU: a 200 MB captured constant costs ~60 s per
+        retrace vs ~10 s arg-style).  Default: nothing to thread."""
+        return None
+
+    def raw_query_with(self, aux, points):
+        """``raw_query`` with :meth:`raw_query_aux`'s pytree passed back in
+        explicitly.  Default implementation ignores ``aux``."""
+        return self.raw_query(points)
 
     def __call__(self, points_in_object_frame):
         pts = as_float_array(points_in_object_frame)
@@ -509,13 +523,21 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
         self._eps = jnp.float32(obj_factory.surface_normal_eps)
 
     def raw_query(self, points):
-        # NOTE: when traced inside an external jit (e.g. a ComposedSDF
-        # union), the tables become captured constants of that program; use
-        # moderate max_k / cell counts for union links, or query standalone
-        # (__call__ passes the tables as arguments)
+        # NOTE: when traced inside an EXTERNAL user jit, the tables become
+        # captured constants of that program; ComposedSDF.__call__ and this
+        # class's own __call__ avoid that by threading the tables as
+        # arguments (raw_query_aux / raw_query_with)
         from pytorch_volumetric_tpu.ops.narrow_band import (
             straight_through_query)
         return straight_through_query(self.tables, points, self._eps)
+
+    def raw_query_aux(self):
+        return self.tables
+
+    def raw_query_with(self, aux, points):
+        from pytorch_volumetric_tpu.ops.narrow_band import (
+            straight_through_query)
+        return straight_through_query(aux, points, self._eps)
 
     def _jitted(self):
         # jit with the (potentially multi-GB) tables as arguments, not as
@@ -785,15 +807,23 @@ class ComposedSDF(ObjectFrameSDF):
         pts_batch = pts.shape[:-1]
         flat = pts.reshape(-1, pts.shape[-1])
         if self._compose_jit is None:
-            children = tuple(s.raw_query for s in self.sdfs)
+            children_with = tuple(s.raw_query_with for s in self.sdfs)
             B = self._batch
 
-            def fn(points, m, m_inv):
-                return compose_query(children, m, m_inv, B, points)
+            # children's big tables (e.g. NarrowBandMeshSDF candidate
+            # lists) ride in as jit arguments via raw_query_aux, not as
+            # captured constants: constants serialize into the program and
+            # cost minutes of compile per retrace at GB scale
+            def fn(points, m, m_inv, aux):
+                queries = tuple(
+                    functools.partial(child, a)
+                    for child, a in zip(children_with, aux))
+                return compose_query(queries, m, m_inv, B, points)
 
             self._compose_jit = jax.jit(fn)
+        aux = tuple(s.raw_query_aux() for s in self.sdfs)
         vv, gg = self._compose_jit(flat, self.obj_frame_to_link_frame.get_matrix(),
-                                   self.link_frame_to_obj_frame)
+                                   self.link_frame_to_obj_frame, aux)
         if self.tsf_batch is not None:
             out_batch = self.tsf_batch + pts_batch
         else:

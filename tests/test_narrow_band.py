@@ -148,3 +148,27 @@ def test_narrow_band_disk_cache_roundtrip(tmp_path, rng):
     nb3 = pv.NarrowBandMeshSDF(fac, cell_res=0.04, band=0.06, padding=0.1,
                                cache_path=cache)
     assert nb3.tables.dims.shape == (3,)
+
+
+def test_union_threads_tables_as_arguments(sdfs):
+    """Inside a ComposedSDF program the narrow-band tables ride in as jit
+    ARGUMENTS (raw_query_aux), not captured constants: swapping the tables
+    on the child changes results without a retrace (a captured constant
+    would keep serving the stale values)."""
+    _, nb = sdfs
+    composed = pv.ComposedSDF([nb], pv.Transform3d(
+        matrix=jnp.eye(4)[None]))
+    pts = jnp.asarray([[0.45, 0.0, 0.0], [0.0, 0.0, 0.3]], dtype=jnp.float32)
+    v0, _ = composed(pts)
+    orig = nb.tables
+    try:
+        # shift every stored/far value by +0.25 (meta col 0 and candidate
+        # corner data untouched: the far-field meta value drives far points)
+        nb.tables = orig._replace(meta=orig.meta.at[:, 0].add(0.25))
+        v1, _ = composed(pts)
+    finally:
+        nb.tables = orig
+    assert not np.allclose(np.asarray(v0), np.asarray(v1)), (
+        "table swap had no effect: tables were captured as constants")
+    v2, _ = composed(pts)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v2), rtol=1e-6)
