@@ -75,21 +75,26 @@ def main():
     # and block_until_ready does not reliably wait, so we chain `reps`
     # iterations on device inside one jitted scan (perturbing q each step to
     # prevent CSE) and pay a single dispatch + scalar fetch.
-    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
     children = tuple(robot.sdf.sdfs)
+    # brick tables ride into the jit as ARGUMENTS: captured constants at
+    # this scale (8 links x 8x value grids) cost minutes of extra compile
+    ft = coherent_fast_tables(children)
 
-    def query_sum(q, pts):
+    def query_sum(q, pts, ft):
         m, m_inv = robot._link_transforms(q)
-        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], pts)
+        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], pts,
+                                      fast_tables=ft)
         return v.sum() + g.sum()
 
     reps = 10
 
     def chained(fn):
         @jax.jit
-        def run(q, pts):
+        def run(q, pts, ft):
             def body(c, i):
-                return c + fn(q + 1e-6 * i, pts), None
+                return c + fn(q + 1e-6 * i, pts, ft), None
             out, _ = jax.lax.scan(body, jnp.float32(0),
                                   jnp.arange(reps, dtype=jnp.float32))
             return out
@@ -97,29 +102,29 @@ def main():
         return run
 
     fwd = chained(query_sum)
-    float(fwd(th, pts))  # compile
+    float(fwd(th, pts, ft))  # compile
     t0 = time.perf_counter()
-    acc = float(fwd(th, pts))
+    acc = float(fwd(th, pts, ft))
     fwd_s = (time.perf_counter() - t0) / reps
     qps = N * M / fwd_s
     log(f"forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> {qps / 1e6:.1f}M queries/s "
         f"(acc={acc:.3e})")
 
     # forward + backward w.r.t. joint configuration
-    bwd = chained(lambda q, p: jax.grad(
-        lambda qq: query_sum(qq, p))(q).sum())
-    float(bwd(th, pts))
+    bwd = chained(lambda q, p, f: jax.grad(
+        lambda qq: query_sum(qq, p, f))(q).sum())
+    float(bwd(th, pts, ft))
     t0 = time.perf_counter()
-    acc = float(bwd(th, pts))
+    acc = float(bwd(th, pts, ft))
     bwd_s = (time.perf_counter() - t0) / reps
     log(f"forward+backward: {bwd_s * 1e3:.2f} ms -> {N * M / bwd_s / 1e6:.1f}M queries/s")
 
     # the reference's other headline row: N=20 configs (README.md:195-200,
     # 37.69 ms on the 2080 Ti)
     th20 = th[:20]
-    float(fwd(th20, pts))
+    float(fwd(th20, pts, ft))
     t0 = time.perf_counter()
-    float(fwd(th20, pts))
+    float(fwd(th20, pts, ft))
     fwd20_s = (time.perf_counter() - t0) / reps
     log(f"forward N=20: {fwd20_s * 1e3:.2f} ms "
         f"(reference 37.69 ms) -> {20 * M / fwd20_s / 1e6:.1f}M queries/s")

@@ -49,7 +49,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     import pytorch_volumetric_tpu as pv
-    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
     from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
     log(f"devices: {jax.devices()}")
@@ -74,32 +75,36 @@ def main():
     rng = np.random.default_rng(0)
     th = jnp.asarray(rng.normal(0, 0.3, (N, 7)).astype(np.float32))
     children = tuple(robot.sdf.sdfs)
+    # brick tables as jit arguments (captured constants at this scale cost
+    # minutes of compile)
+    ft = coherent_fast_tables(children)
 
-    def chunk_loss(q_chunk, p):
+    def chunk_loss(q_chunk, p, ft):
         m, m_inv = robot._link_transforms(q_chunk)
-        v, g = compose_query_coherent(children, m, m_inv, C, p)
+        v, g = compose_query_coherent(children, m, m_inv, C, p,
+                                      fast_tables=ft)
         return v.sum() + g.sum()
 
     @jax.jit
-    def forward(q, p):
-        losses = jax.lax.map(lambda qc: chunk_loss(qc, p),
+    def forward(q, p, ft):
+        losses = jax.lax.map(lambda qc: chunk_loss(qc, p, ft),
                              q.reshape(N // C, C, -1))
         return losses.sum()
 
     @jax.jit
-    def forward_backward(q, p):
+    def forward_backward(q, p, ft):
         def per_chunk(qc):
-            l, gq = jax.value_and_grad(lambda x: chunk_loss(x, p))(qc)
+            l, gq = jax.value_and_grad(lambda x: chunk_loss(x, p, ft))(qc)
             return l + gq.sum()
         return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
 
     results = {}
     for name, fn in (("forward", forward), ("forward_backward", forward_backward)):
         t0 = time.perf_counter()
-        float(fn(th, pts))  # compile + run
+        float(fn(th, pts, ft))  # compile + run
         log(f"{name} compile+first run: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        acc = float(fn(th, pts))
+        acc = float(fn(th, pts, ft))
         dt = time.perf_counter() - t0
         results[name] = dt
         log(f"{name}: {dt*1e3:.0f} ms for {N}x{M} -> "

@@ -220,13 +220,15 @@ class RobotSDF(sdf.ObjectFrameSDF):
         if self._query_grid_jit is None:
             children = tuple(self.sdf.sdfs)
 
-            def fn(qf, pf):
+            def fn(qf, pf, fast_tables):
                 m, m_inv = self._link_transforms(qf)
                 return compose_query_coherent(children, m, m_inv,
-                                              qf.shape[0], pf)
+                                              qf.shape[0], pf,
+                                              fast_tables=fast_tables)
 
             self._query_grid_jit = jax.jit(fn)
-        vv, gg = self._query_grid_jit(q_flat, pts)
+        vv, gg = self._query_grid_jit(q_flat, pts,
+                                      sdf.coherent_fast_tables(self.sdf.sdfs))
         vv = vv[:, take_idx].reshape(q_batch + grid_shape)
         gg = gg[:, take_idx].reshape(q_batch + grid_shape + (3,))
         return vv, gg

@@ -139,21 +139,26 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
     sweeps.  ``P`` must divide into per-device chunks that are multiples of 4
     so segments stay intact under the point-axis sharding (contiguous chunk
     per device)."""
-    from pytorch_volumetric_tpu.sdf import compose_query_coherent
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
 
     children = tuple(robot_sdf.sdf.sdfs)
 
-    def fn(q, pts):
+    def fn(q, pts, fast_tables):
         m, m_inv = robot_sdf._link_transforms(q)
-        return compose_query_coherent(children, m, m_inv, q.shape[0], pts)
+        return compose_query_coherent(children, m, m_inv, q.shape[0], pts,
+                                      fast_tables=fast_tables)
 
-    return jax.jit(
+    jitted = jax.jit(
         fn,
         in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
-                      NamedSharding(mesh, P(POINT_AXIS, None))),
+                      NamedSharding(mesh, P(POINT_AXIS, None)),
+                      NamedSharding(mesh, P())),  # tables replicated
         out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
                        NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
     )
+    ft = coherent_fast_tables(children)
+    return lambda q, pts: jitted(q, pts, ft)
 
 
 def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:

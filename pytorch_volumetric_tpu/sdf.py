@@ -591,6 +591,17 @@ def _vg_cat_for(tables) -> jnp.ndarray:
     return vg_cat
 
 
+def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
+    """``(tables, vg_cat)`` for the coherent-fast children of ``children``
+    (in child order), ready to thread into
+    :func:`compose_query_coherent`'s ``fast_tables`` as a jit argument.
+    Build ONCE outside the jit; the concatenated winner table is cached per
+    child-set."""
+    tables = tuple(s._coherent_tables() for s in children
+                   if _is_coherent_fast_child(s))
+    return tables, _vg_cat_for(tables)
+
+
 def _is_coherent_fast_child(s) -> bool:
     """True iff the brick-gather fast path applies to this union child (the
     others take the generic per-point sub-path where the coherence contract
@@ -611,29 +622,38 @@ class _CoherentTables(NamedTuple):
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
 
 
-def _coherent_union_lookup(tables: Sequence[_CoherentTables],
-                           bases: Sequence[int]):
-    """Returns a custom-VJP function ``pts_c [C, B, F, 3] -> (val [B, F],
-    g_link [B, F, 3], oh [C, B, F])`` evaluating the min-union of the cached
-    children with brick gathers; ``g_link`` is the winner's gradient in the
-    *winner's own frame* and ``oh`` the winner one-hot (for rotating back and
-    for the straight-through VJP)."""
-    C = len(tables)
-    # concrete even when this closure is (re)built inside a jit/grad trace:
-    # a traced constant here would fail lowering under grad-of-jit.  The
-    # concatenated winner table is cached per child-set so retraces (new
-    # shapes, new jits) don't materialize fresh multi-MB copies.
+def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
+                           bases: Sequence[int],
+                           brick_sd: Sequence[tuple],
+                           vg_sd: tuple):
+    """Returns a custom-VJP function ``lookup(pts_c [C, B, F, 3],
+    bricks_list, vg_cat) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
+    evaluating the min-union of the cached children with brick gathers;
+    ``g_link`` is the winner's gradient in the *winner's own frame* and
+    ``oh`` the winner one-hot (for rotating back and for the
+    straight-through VJP).
+
+    Only ``smalls``' tiny fields (lo/res/n/strides/bstrides/bb) are used —
+    they MUST be concrete (their arithmetic has to constant-fold exactly
+    like the generic path's, or borderline ``round()``\\ s flip by one
+    voxel).  The big arrays (``bricks_list`` per child, ``vg_cat``) are
+    explicit arguments so callers can thread them through jits: captured
+    constants at multi-hundred-MB scale cost minutes of compile per
+    retrace, and custom_vjp closures cannot capture argument tracers."""
+    C = len(smalls)
+    # small index constants; concrete even when (re)built inside a
+    # jit/grad trace (a traced constant here would fail lowering under
+    # grad-of-jit)
     with jax.ensure_compile_time_eval():
-        vg_cat = _vg_cat_for(tables)
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
         child_iota = jnp.arange(C, dtype=jnp.int32)
 
-    def eval_union(pts_c):
+    def eval_union(pts_c, bricks_list, vg_cat):
         B, F = pts_c.shape[1], pts_c.shape[2]
         FS = F // COHERENT_SEG
         best_v = best_i = best_flat = best_valid = best_g_oob = None
-        for ci, t in enumerate(tables):
+        for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
@@ -650,7 +670,7 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
             # gather_nearest row-0 redirect).
             seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
-            rows = t.bricks[bflat]                             # [B, FS, 64]
+            rows = bricks_list[ci][bflat]                      # [B, FS, 64]
             off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
@@ -685,11 +705,11 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
         return best_v, g_link, oh
 
     @jax.custom_vjp
-    def lookup(pts_c):
-        return eval_union(pts_c)
+    def lookup(pts_c, bricks_list, vg_cat):
+        return eval_union(pts_c, bricks_list, vg_cat)
 
-    def fwd(pts_c):
-        val, g_link, oh = eval_union(pts_c)
+    def fwd(pts_c, bricks_list, vg_cat):
+        val, g_link, oh = eval_union(pts_c, bricks_list, vg_cat)
         return (val, g_link, oh), (g_link, oh)
 
     def bwd(residual, cotangents):
@@ -697,7 +717,11 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
         ct_val = cotangents[0]
         # straight-through: d val / d pts_c[ci] = onehot_ci * winner gradient
         d_pts = oh[..., None] * (ct_val[..., None] * g_link)[None]
-        return (d_pts,)
+        # tables are data, not parameters: zero cotangents (DCE'd upstream;
+        # shapes statically known at lookup-build time)
+        d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
+        d_vg = jnp.zeros(vg_sd[0], vg_sd[1])
+        return (d_pts, d_bricks, d_vg)
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -705,7 +729,8 @@ def _coherent_union_lookup(tables: Sequence[_CoherentTables],
 
 def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                            obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
-                           batch: int, points: jnp.ndarray):
+                           batch: int, points: jnp.ndarray,
+                           fast_tables=None):
     """Min-union query like :func:`compose_query` but using the segmented
     brick-gather fast path for ``CachedSDF`` children.
 
@@ -718,6 +743,14 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     Children that are not nearest-neighbor BOUNDING_BOX ``CachedSDF``\\ s
     (analytic primitives, ``MeshSDF``, trilinear/GT-fallback caches) are
     evaluated on the generic per-point path and min-combined afterwards.
+
+    ``fast_tables``: optional ``(tables, vg_cat)`` for the coherent-fast
+    children in child order, as built by :func:`coherent_fast_tables`.
+    Thread it through your jit as an ARGUMENT — the brick tables are 8x
+    the value grids, and captured constants at that scale cost minutes of
+    compile per retrace.  When omitted, tables are materialized at trace
+    time as program constants (correct, but slow to compile for big
+    robots).
     """
     S = len(children)
     F = points.shape[0]
@@ -731,11 +764,33 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
 
     best_v = best_g = None
     if fast:
-        tables = [children[i]._coherent_tables() for i in fast]
-        sizes = [int(t.vg.shape[0]) for t in tables]
+        if fast_tables is not None:
+            tables, vg_cat = fast_tables
+            if len(tables) != len(fast):
+                raise ValueError(
+                    f"fast_tables holds {len(tables)} table sets but "
+                    f"{len(fast)} children take the coherent fast path")
+        else:
+            tables = [children[i]._coherent_tables() for i in fast]
+            with jax.ensure_compile_time_eval():
+                vg_cat = _vg_cat_for(tables)
+        # the tiny per-child fields (lo/res/dims/strides/bb) must be
+        # trace-time CONSTANTS even when tables arrive as jit-argument
+        # tracers: as traced values XLA emits a true division for
+        # (p - lo)/res where the generic path's constant folds to a
+        # reciprocal multiply, and the 1-ulp quotient difference flips
+        # borderline round()s by one voxel — breaking the bit-exactness
+        # contract.  Only the big arrays (bricks, vg_cat) stay arguments.
+        with jax.ensure_compile_time_eval():
+            smalls = [children[i]._coherent_tables() for i in fast]
+        sizes = [int(t.vg.shape[0]) for t in smalls]
         bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
-        lookup = _coherent_union_lookup(tables, bases)
-        val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]))
+        lookup = _coherent_union_lookup(
+            smalls, bases,
+            [(t.bricks.shape, t.bricks.dtype) for t in tables],
+            (vg_cat.shape, vg_cat.dtype))
+        val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
+                                 tuple(t.bricks for t in tables), vg_cat)
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
         for ci, i in enumerate(fast):
             g_rot = tfm.rotate_vectors(R_back[i], g_link)
@@ -872,12 +927,16 @@ class ComposedSDF(ObjectFrameSDF):
             children = tuple(self.sdfs)
             B = self._batch
 
-            def fn(points, m, m_inv):
-                return compose_query_coherent(children, m, m_inv, B, points)
+            def fn(points, m, m_inv, fast_tables):
+                return compose_query_coherent(children, m, m_inv, B, points,
+                                              fast_tables=fast_tables)
 
             self._coherent_jit = jax.jit(fn)
+        # brick tables ride in as arguments, not captured constants (they
+        # are 8x the value grids; constants at that scale compile slowly)
         vv, gg = self._coherent_jit(pts, self.obj_frame_to_link_frame.get_matrix(),
-                                    self.link_frame_to_obj_frame)
+                                    self.link_frame_to_obj_frame,
+                                    coherent_fast_tables(self.sdfs))
         if self.tsf_batch is None:
             return vv[0], gg[0]
         # restore multi-dim configuration batches like __call__ does
