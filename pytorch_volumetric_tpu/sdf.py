@@ -1098,7 +1098,7 @@ class CachedSDF(ObjectFrameSDF):
         gt_raw = self.gt_sdf.raw_query if self.gt_sdf is not None else None
         trilinear = self.interpolation == "trilinear"
 
-        def gather_nearest(pts):
+        def gather_nearest(vg, pts):
             keys = jnp.round((pts - lo) / res).astype(jnp.int32)
             valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
             flat_idx = jnp.sum(jnp.clip(keys, 0, n - 1) * strides, axis=-1)
@@ -1110,7 +1110,7 @@ class CachedSDF(ObjectFrameSDF):
             rows = vg[flat_idx]
             return rows[..., 0], rows[..., 1:4], valid
 
-        def gather_trilinear(pts):
+        def gather_trilinear(vg, pts):
             f = (pts - lo) / res
             # valid if the nearest-voxel key is in range (same contract as
             # nearest mode); interpolation cell is clamped to the grid
@@ -1134,8 +1134,8 @@ class CachedSDF(ObjectFrameSDF):
 
         gather = gather_trilinear if trilinear else gather_nearest
 
-        def raw(pts):
-            val_in, grad_in, valid = gather(pts)
+        def raw_with(vg, pts):
+            val_in, grad_in, valid = gather(vg, pts)
             if strategy == OutOfBoundsStrategy.BOUNDING_BOX:
                 # distance to the surface AABB: always an under-approximation
                 # (reference sdf.py:555-571)
@@ -1153,11 +1153,35 @@ class CachedSDF(ObjectFrameSDF):
             grad = jnp.where(valid[..., None], grad_in, g_oob)
             return val, grad
 
-        self._raw = _straight_through_sdf(raw)
+        # classic path: vg as a concrete closure value (fine standalone);
+        # aux path: vg as an explicit custom_vjp argument with a zero
+        # cotangent, so ComposedSDF unions and exported artifacts carry the
+        # table as a program INPUT instead of a serialized constant
+        self._raw = _straight_through_sdf(functools.partial(raw_with, vg))
+        vg_sd = (vg.shape, vg.dtype)
+        st = jax.custom_vjp(raw_with)
+
+        def fwd(vg, pts):
+            val, grad = raw_with(vg, pts)
+            return (val, grad), grad
+
+        def bwd(residual_grad, cotangents):
+            ct_val, _ = cotangents
+            return (jnp.zeros(vg_sd[0], vg_sd[1]),
+                    ct_val[..., None] * residual_grad)
+
+        st.defvjp(fwd, bwd)
+        self._raw_aux = st
         self._jit_cache = None
 
     def raw_query(self, points):
         return self._raw(points)
+
+    def raw_query_aux(self):
+        return self._vg
+
+    def raw_query_with(self, aux, points):
+        return self._raw_aux(aux, points)
 
     def _coherent_tables(self) -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
