@@ -13,6 +13,7 @@ differentiable w.r.t. joint angles as well as query points.
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import typing
@@ -153,16 +154,35 @@ class RobotSDF(sdf.ObjectFrameSDF):
         pts_flat = pts.reshape(-1, pts.shape[-1])
 
         if self._query_jit is None:
-            children = tuple(s.raw_query for s in self.sdf.sdfs)
-
-            def fn(qf, pf):
-                m, m_inv = self._link_transforms(qf)
-                return compose_query(children, m, m_inv, qf.shape[0], pf)
-
+            fn, _ = self.fused_query_fn()
             self._query_jit = jax.jit(fn)
-        vv, gg = self._query_jit(q_flat, pts_flat)
+        # big per-link tables as arguments, not captured constants (see
+        # ARCHITECTURE.md); re-fetched per call so table swaps take effect
+        leaves = jax.tree_util.tree_leaves(
+            tuple(s.raw_query_aux() for s in self.sdf.sdfs))
+        vv, gg = self._query_jit(q_flat, pts_flat, *leaves)
         out_batch = q_batch + pts_batch
         return vv.reshape(out_batch), gg.reshape(out_batch + (3,))
+
+    def fused_query_fn(self):
+        """``(fn, aux_leaves)`` where ``fn(q_flat [A, M], pts_flat [P, 3],
+        *aux_leaves) -> (val [A, P], grad [A, P, 3])`` is the pure fused
+        FK → per-link SDF → min-union program with every child's big tables
+        as explicit trailing arguments (``aux_leaves`` are their current
+        values).  This is the function :meth:`query`, the sharding layer,
+        and ``utils.serving`` jit/export."""
+        children_with = tuple(s.raw_query_with for s in self.sdf.sdfs)
+        aux = tuple(s.raw_query_aux() for s in self.sdf.sdfs)
+        leaves, treedef = jax.tree_util.tree_flatten(aux)
+
+        def fn(qf, pf, *aux_leaves):
+            aux_tree = jax.tree_util.tree_unflatten(treedef, aux_leaves)
+            queries = tuple(functools.partial(child, a)
+                            for child, a in zip(children_with, aux_tree))
+            m, m_inv = self._link_transforms(qf)
+            return compose_query(queries, m, m_inv, qf.shape[0], pf)
+
+        return fn, leaves
 
     def distill(self, key=0, **fit_kwargs):
         """Distill this exact robot SDF into a learned configuration-space

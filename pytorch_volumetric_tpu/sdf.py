@@ -391,21 +391,27 @@ class CapsuleSDF(ObjectFrameSDF):
         return jnp.asarray([[-r, r], [-r, r], [-h, h]])
 
 
-def _straight_through_sdf(raw_fn: Callable) -> Callable:
-    """Wrap ``pts -> (val, grad)`` with a custom VJP whose derivative of the
-    value w.r.t. the points is the analytic gradient itself.  This is what
-    makes pose/joint-angle gradients flow through transforms and FK by the
-    chain rule.  (Second derivatives of the gradient output are treated as
-    zero.)"""
+def _straight_through_sdf(raw_fn: Callable, aux_specs=()) -> Callable:
+    """Wrap ``(*aux, pts) -> (val, grad)`` with a custom VJP whose
+    derivative of the value w.r.t. the points is the analytic gradient
+    itself.  This is what makes pose/joint-angle gradients flow through
+    transforms and FK by the chain rule.  (Second derivatives of the
+    gradient output are treated as zero.)
+
+    ``aux_specs``: ``((shape, dtype), ...)`` for leading table arguments
+    that receive ZERO cotangents (data, not parameters) — used by the
+    aux-threaded paths so big tables ride as program inputs instead of
+    captured constants."""
     f = jax.custom_vjp(raw_fn)
 
-    def fwd(pts):
-        val, grad = raw_fn(pts)
+    def fwd(*args):
+        val, grad = raw_fn(*args)
         return (val, grad), grad
 
     def bwd(residual_grad, cotangents):
         ct_val, _ct_grad = cotangents
-        return (ct_val[..., None] * residual_grad,)
+        zeros = tuple(jnp.zeros(s, d) for s, d in aux_specs)
+        return (*zeros, ct_val[..., None] * residual_grad)
 
     f.defvjp(fwd, bwd)
     return f
@@ -1158,20 +1164,8 @@ class CachedSDF(ObjectFrameSDF):
         # cotangent, so ComposedSDF unions and exported artifacts carry the
         # table as a program INPUT instead of a serialized constant
         self._raw = _straight_through_sdf(functools.partial(raw_with, vg))
-        vg_sd = (vg.shape, vg.dtype)
-        st = jax.custom_vjp(raw_with)
-
-        def fwd(vg, pts):
-            val, grad = raw_with(vg, pts)
-            return (val, grad), grad
-
-        def bwd(residual_grad, cotangents):
-            ct_val, _ = cotangents
-            return (jnp.zeros(vg_sd[0], vg_sd[1]),
-                    ct_val[..., None] * residual_grad)
-
-        st.defvjp(fwd, bwd)
-        self._raw_aux = st
+        self._raw_aux = _straight_through_sdf(
+            raw_with, aux_specs=((vg.shape, vg.dtype),))
         self._jit_cache = None
 
     def raw_query(self, points):

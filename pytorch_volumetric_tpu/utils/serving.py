@@ -18,8 +18,6 @@ serving batch shape, or pad at the call site.
 
 from __future__ import annotations
 
-import functools
-import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -27,25 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 TABLES_SUFFIX = ".tables.npz"
-
-
-def _fused_query_fn(robot_sdf):
-    """``fn(q, pts, *aux_leaves) -> (val, grad)`` with every child's big
-    tables as flat positional arguments; returns (fn, example_leaves)."""
-    from pytorch_volumetric_tpu.sdf import compose_query
-
-    children_with = tuple(s.raw_query_with for s in robot_sdf.sdf.sdfs)
-    aux = tuple(s.raw_query_aux() for s in robot_sdf.sdf.sdfs)
-    leaves, treedef = jax.tree_util.tree_flatten(aux)
-
-    def fn(q, pts, *aux_leaves):
-        aux_tree = jax.tree_util.tree_unflatten(treedef, aux_leaves)
-        queries = tuple(functools.partial(child, a)
-                        for child, a in zip(children_with, aux_tree))
-        m, m_inv = robot_sdf._link_transforms(q)
-        return compose_query(queries, m, m_inv, q.shape[0], pts)
-
-    return fn, leaves
 
 
 def export_robot_query(robot_sdf, n_configs: int, n_points: int,
@@ -60,7 +39,7 @@ def export_robot_query(robot_sdf, n_configs: int, n_points: int,
     """
     from jax import export as jax_export
 
-    fn, leaves = _fused_query_fn(robot_sdf)
+    fn, leaves = robot_sdf.fused_query_fn()
     M = len(robot_sdf.joint_names)
     specs = (jax.ShapeDtypeStruct((n_configs, M), jnp.float32),
              jax.ShapeDtypeStruct((n_points, 3), jnp.float32),
@@ -68,7 +47,10 @@ def export_robot_query(robot_sdf, n_configs: int, n_points: int,
     exported = jax_export.export(
         jax.jit(fn), platforms=tuple(platforms) if platforms else None)(*specs)
     with open(path, "wb") as f:
-        f.write(exported.serialize())
+        # vjp_order=1: the artifact stays differentiable w.r.t. joint
+        # angles/points on the consumer side (gradient-based planning is
+        # the library's headline use)
+        f.write(exported.serialize(vjp_order=1))
     np.savez_compressed(path + TABLES_SUFFIX,
                         **{f"leaf{i}": np.asarray(l)
                            for i, l in enumerate(leaves)},
@@ -87,8 +69,12 @@ def load_robot_query(path: str) -> Callable:
         leaves = tuple(jnp.asarray(d[f"leaf{i}"])
                        for i in range(int(d["n_leaves"])))
 
+    # jitted wrapper: eager exported.call pays ~1 ms of Python dispatch per
+    # request — 5x the jitted steady state on the serving hot path
+    call = jax.jit(lambda q, pts: exported.call(q, pts, *leaves))
+
     def query(q, pts):
-        return exported.call(jnp.asarray(q, dtype=jnp.float32),
-                             jnp.asarray(pts, dtype=jnp.float32), *leaves)
+        return call(jnp.asarray(q, dtype=jnp.float32),
+                    jnp.asarray(pts, dtype=jnp.float32))
 
     return query

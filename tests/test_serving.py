@@ -41,18 +41,48 @@ def test_export_load_roundtrip(robot, tmp_path):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-6)
 
 
-def test_artifact_excludes_tables(robot, tmp_path):
-    """The per-link tables live in the sidecar, not the artifact: the
-    serialized program stays small and compiles fast on the consumer."""
+def test_artifact_excludes_tables(robot, tmp_path, tmp_path_factory):
+    """The per-link tables live in the sidecar, not the artifact: doubling
+    the grid resolution (~8x table bytes) must leave the serialized program
+    size unchanged."""
     import os
+
+    def table_bytes(p):
+        with np.load(p + ".tables.npz") as d:
+            return sum(d[k].nbytes for k in d.files if k != "n_leaves")
 
     path = str(tmp_path / "arm_query.bin")
     export_robot_query(robot, n_configs=2, n_points=32, path=path)
-    with np.load(path + ".tables.npz") as d:
-        raw_table_bytes = sum(d[k].nbytes for k in d.files if k != "n_leaves")
-    artifact_bytes = os.path.getsize(path)
-    # the program itself must not embed the link grids; its size is fixed
-    # StableHLO overhead (~25 KB for 8 links) while the raw tables are
-    # already 4x that at this tiny test resolution (and GBs in production)
-    assert raw_table_bytes > 2 * artifact_bytes, (artifact_bytes,
-                                                  raw_table_bytes)
+
+    d = str(tmp_path_factory.mktemp("arm_fine"))
+    urdf, end = make_serial_arm(d, num_joints=3, segments=6, rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf).read(), end)
+    robot_fine = pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.025, padding=0.2,
+            cache_path=str(tmp_path / "cache_fine.npz")))
+    path_fine = str(tmp_path / "arm_query_fine.bin")
+    export_robot_query(robot_fine, n_configs=2, n_points=32, path=path_fine)
+
+    assert table_bytes(path_fine) > 4 * table_bytes(path)
+    a0, a1 = os.path.getsize(path), os.path.getsize(path_fine)
+    assert abs(a1 - a0) < 0.2 * a0, (a0, a1)
+
+
+def test_loaded_artifact_differentiable(robot, tmp_path):
+    """Gradient-based planning on the serving side: jax.grad w.r.t. joint
+    angles works through the deserialized artifact (vjp_order=1)."""
+    path = str(tmp_path / "arm_query_g.bin")
+    export_robot_query(robot, n_configs=2, n_points=16, path=path)
+    query = load_robot_query(path)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 3)), dtype=jnp.float32)
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (16, 3)), dtype=jnp.float32)
+
+    gq = jax.grad(lambda qq: query(qq, pts)[0].sum())(q)
+    robot.set_joint_configuration(q)
+    # reference joint gradient from the live fused path
+    gq_ref = jax.grad(lambda qq: robot.query(qq, pts)[0].sum())(q)
+    assert gq.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=1e-5)
