@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pytorch_volumetric_tpu.sdf import compose_query
+
 
 CONFIG_AXIS = "config"
 POINT_AXIS = "point"
@@ -118,19 +118,16 @@ def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
     ``A`` must divide by the config-axis size and ``P`` by the point-axis size
     (pad with :func:`pad_for_mesh` otherwise).
     """
-    children = tuple(s.raw_query for s in robot_sdf.sdf.sdfs)
-
-    def fn(q, pts):
-        m, m_inv = robot_sdf._link_transforms(q)
-        return compose_query(children, m, m_inv, q.shape[0], pts)
-
-    return jax.jit(
+    fn, leaves = robot_sdf.fused_query_fn()
+    jitted = jax.jit(
         fn,
         in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
-                      NamedSharding(mesh, P(POINT_AXIS, None))),
+                      NamedSharding(mesh, P(POINT_AXIS, None)),
+                      *(NamedSharding(mesh, P()) for _ in leaves)),
         out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
                        NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
     )
+    return lambda q, pts: jitted(q, pts, *leaves)
 
 
 def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
@@ -206,24 +203,25 @@ def make_collision_step(robot_sdf, optimizer, margin: float = 0.1,
 
     Returns ``step(q [A, M], opt_state, pts [P, 3]) -> (q', opt_state', loss)``.
     """
-    children = tuple(s.raw_query for s in robot_sdf.sdf.sdfs)
+    query_fn, leaves = robot_sdf.fused_query_fn()
 
-    def loss_fn(q, pts):
-        m, m_inv = robot_sdf._link_transforms(q)
-        val, _ = compose_query(children, m, m_inv, q.shape[0], pts)
+    def loss_fn(q, pts, aux):
+        val, _ = query_fn(q, pts, *aux)
         return jnp.mean(jax.nn.relu(margin - val) ** 2)
 
-    def step(q, opt_state, pts):
-        loss, g = jax.value_and_grad(loss_fn)(q, pts)
+    def step(q, opt_state, pts, aux):
+        loss, g = jax.value_and_grad(loss_fn)(q, pts, aux)
         updates, opt_state = optimizer.update(g, opt_state, q)
         q = jax.tree_util.tree_map(lambda p, u: p + u, q, updates)
         return q, opt_state, loss
 
     if mesh is None:
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        return lambda q, s, pts: jitted(q, s, pts, leaves)
     q_sh = NamedSharding(mesh, P(CONFIG_AXIS, None))
     pts_sh = NamedSharding(mesh, P(POINT_AXIS, None))
     repl = NamedSharding(mesh, P())
-    return jax.jit(step,
-                   in_shardings=(q_sh, repl, pts_sh),
-                   out_shardings=(q_sh, repl, repl))
+    jitted = jax.jit(step,
+                     in_shardings=(q_sh, repl, pts_sh, repl),
+                     out_shardings=(q_sh, repl, repl))
+    return lambda q, s, pts: jitted(q, s, pts, leaves)
