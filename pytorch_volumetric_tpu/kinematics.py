@@ -72,6 +72,10 @@ class Joint:
     # is conjugated, child(q) = origin @ offset @ motion(q) @ offset^-1.
     # URDF joints have offset == identity (the child frame IS the joint frame).
     joint_offset: Optional[np.ndarray] = None  # [4, 4]
+    # URDF <mimic joint=... multiplier=... offset=...>: this joint's value is
+    # multiplier * q[master] + offset and it is NOT an independent DOF
+    # (common in gripper URDFs)
+    mimic: Optional[Tuple[str, float, float]] = None
 
 
 @dataclass
@@ -108,7 +112,24 @@ class Chain:
         self._frames_by_name = {f.name: f for f in self._ordered}
         self._joint_names = [f.joint.name for f in self._ordered
                              if f.joint is not None
-                             and f.joint.joint_type in ACTUATED_TYPES]
+                             and f.joint.joint_type in ACTUATED_TYPES
+                             and f.joint.mimic is None]
+        # mimic resolution: driven joint -> (master name, multiplier, offset)
+        self._mimic = {}
+        by_name = {f.joint.name: f.joint for f in self._ordered
+                   if f.joint is not None}
+        for f in self._ordered:
+            j = f.joint
+            if j is None or j.mimic is None:
+                continue
+            master, mult, off = j.mimic
+            if master not in by_name:
+                raise ValueError(f"mimic joint {j.name} references unknown "
+                                 f"joint {master}")
+            if by_name[master].mimic is not None:
+                raise ValueError(f"chained mimic ({j.name} -> {master}) is "
+                                 "not supported")
+            self._mimic[j.name] = (master, float(mult), float(off))
         # static per-frame data for FK
         self._origins = {f.name: jnp.asarray(
             f.joint.origin if f.joint is not None else np.eye(4), dtype=jnp.float32)
@@ -200,7 +221,12 @@ class Chain:
                 origin = self._origins[f.name]
                 m = tfm.mm(m, origin)
                 if f.joint.joint_type in ACTUATED_TYPES:
-                    qi = q[..., jidx[f.joint.name]]
+                    mim = self._mimic.get(f.joint.name)
+                    if mim is not None:
+                        master, mult, off = mim
+                        qi = mult * q[..., jidx[master]] + off
+                    else:
+                        qi = q[..., jidx[f.joint.name]]
                     motion = self._joint_motion(f, qi)
                     off = self._joint_offsets.get(f.name)
                     if off is not None:
@@ -320,11 +346,18 @@ def build_chain_from_urdf(data: str) -> Chain:
         limits = (-np.inf, np.inf)
         if limit_elem is not None and limit_elem.get("lower") is not None:
             limits = (float(limit_elem.get("lower")), float(limit_elem.get("upper")))
+        mimic_elem = j.find("mimic")
+        mimic = None
+        if mimic_elem is not None and jtype in ACTUATED_TYPES:
+            mimic = (mimic_elem.get("joint"),
+                     float(mimic_elem.get("multiplier", 1.0)),
+                     float(mimic_elem.get("offset", 0.0)))
         joints.append(Joint(
             name=j.get("name"), joint_type=jtype,
             origin=_origin_matrix(j.find("origin")), axis=axis,
             parent_link=j.find("parent").get("link"),
-            child_link=j.find("child").get("link"), limits=limits))
+            child_link=j.find("child").get("link"), limits=limits,
+            mimic=mimic))
         children.add(j.find("child").get("link"))
 
     roots = [name for name in links if name not in children]

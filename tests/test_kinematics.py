@@ -90,3 +90,52 @@ def test_free_object_urdf(tmp_path):
     expected[:3, :3] = np.asarray(pv.euler_angles_to_matrix(rot, "XYZ"))
     expected[:3, 3] = np.asarray(trans)
     assert np.allclose(tf, expected, atol=1e-5)
+
+
+MIMIC_URDF = """
+<robot name="gripper">
+  <link name="base"/><link name="f1"/><link name="f2"/>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="f1"/>
+    <origin xyz="0.1 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="-1.0" upper="1.0"/>
+  </joint>
+  <joint name="j2" type="revolute">
+    <parent link="base"/><child link="f2"/>
+    <origin xyz="-0.1 0 0"/><axis xyz="0 0 1"/>
+    <mimic joint="j1" multiplier="-1.0" offset="0.2"/>
+  </joint>
+</robot>
+"""
+
+NO_MIMIC_URDF = MIMIC_URDF.replace(
+    '<mimic joint="j1" multiplier="-1.0" offset="0.2"/>', "")
+
+
+def test_mimic_joint_fk():
+    """A <mimic> joint is not an independent DOF; its value is
+    multiplier * q[master] + offset (gripper URDF pattern)."""
+    import pytorch_volumetric_tpu as pv
+
+    chain = pv.build_chain_from_urdf(MIMIC_URDF)
+    assert chain.get_joint_parameter_names() == ["j1"]
+    ref = pv.build_chain_from_urdf(NO_MIMIC_URDF)
+    assert ref.get_joint_parameter_names() == ["j1", "j2"]
+
+    q1 = jnp.asarray([0.37], dtype=jnp.float32)
+    fk = chain.fk_matrices(q1)
+    fk_ref = ref.fk_matrices(jnp.asarray([0.37, -0.37 + 0.2],
+                                         dtype=jnp.float32))
+    for name in ("f1", "f2"):
+        np.testing.assert_allclose(np.asarray(fk[name]),
+                                   np.asarray(fk_ref[name]), atol=1e-6)
+    # limits exclude the driven joint
+    assert chain.get_joint_limits().shape == (1, 2)
+
+
+def test_mimic_unknown_master_raises():
+    import pytorch_volumetric_tpu as pv
+
+    bad = MIMIC_URDF.replace('joint="j1" multiplier', 'joint="nope" multiplier')
+    with pytest.raises(ValueError, match="unknown"):
+        pv.build_chain_from_urdf(bad)
