@@ -32,6 +32,7 @@ def test_robot_sdf_accepts_torch_configs_and_points(tmp_path):
     robot.set_joint_configuration(q)
     v, g = robot(pts)
     assert v.shape == (2, 16) and g.shape == (2, 16, 3)
-    # results convert back to torch losslessly
-    vt = torch.from_numpy(np.asarray(v))
+    # results convert back to torch losslessly (copy: jax buffers are
+    # read-only and torch warns on non-writable views)
+    vt = torch.from_numpy(np.array(v))
     assert torch.isfinite(vt).all()
