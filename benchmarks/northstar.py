@@ -98,8 +98,18 @@ def main():
             return l + gq.sum()
         return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
 
+    @jax.jit
+    def values_only(q, p, ft):
+        def per_chunk(qc):
+            m, m_inv = robot._link_transforms(qc)
+            return compose_query_coherent(children, m, m_inv, C, p,
+                                          fast_tables=ft,
+                                          values_only=True).sum()
+        return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
+
     results = {}
-    for name, fn in (("forward", forward), ("forward_backward", forward_backward)):
+    for name, fn in (("forward", forward), ("forward_backward", forward_backward),
+                     ("values_only", values_only)):
         t0 = time.perf_counter()
         float(fn(th, pts, ft))  # compile + run
         log(f"{name} compile+first run: {time.perf_counter() - t0:.1f}s")
@@ -117,6 +127,7 @@ def main():
         "extra": {
             "forward_ms": round(results["forward"] * 1e3, 1),
             "forward_backward_ms": round(results["forward_backward"] * 1e3, 1),
+            "values_only_ms": round(results["values_only"] * 1e3, 1),
         },
     }))
 

@@ -214,3 +214,30 @@ def test_query_coherent_multidim_batch(robot):
                                        atol=1e-6)
     finally:
         robot.set_joint_configuration(_configs())  # restore for other tests
+
+
+def test_values_only_matches_full_path(robot):
+    """values_only=True returns exactly the full path's values while
+    skipping every gradient-side carry (the ~2x inference fast path)."""
+    q = _configs()
+    robot.set_joint_configuration(q)
+    pts_c, _ = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.5, 0.2], [0.01, 0.01], [-0.2, 0.5]]))
+    v_full, _ = robot.sdf.query_coherent(pts_c)
+    v_only = robot.sdf.query_coherent(pts_c, values_only=True)
+    np.testing.assert_array_equal(np.asarray(v_only), np.asarray(v_full))
+    # gradients through the values-only path are stopped, not garbage
+    g = jax.grad(lambda p: robot.sdf.query_coherent(
+        p, values_only=True).sum())(pts_c)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_values_only_all_generic_children():
+    sdfs = [pv.SphereSDF(0.3), pv.BoxSDF((0.2, 0.3, 0.4))]
+    tf = pv.Transform3d(matrix=jnp.broadcast_to(jnp.eye(4), (2, 4, 4)))
+    comp = pv.ComposedSDF(sdfs, tf)
+    pts, _ = pv.get_coherent_grid_points(
+        0.05, np.array([[-0.4, 0.4], [0.0, 0.0], [-0.4, 0.4]]))
+    v_full, _ = comp.query_coherent(pts)
+    v_only = comp.query_coherent(pts, values_only=True)
+    np.testing.assert_array_equal(np.asarray(v_only), np.asarray(v_full))
