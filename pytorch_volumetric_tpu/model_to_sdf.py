@@ -193,7 +193,8 @@ class RobotSDF(sdf.ObjectFrameSDF):
         from pytorch_volumetric_tpu.models import fit_config_space_sdf
         return fit_config_space_sdf(self, key, **fit_kwargs)
 
-    def query_grid(self, joint_config, query_range, resolution):
+    def query_grid(self, joint_config, query_range, resolution,
+                   values_only: bool = False):
         """Fused differentiable query over a regular world-frame grid, routed
         through the segmented brick-gather fast path (one 4x4x4 voxel brick
         gather serves 4 grid points; ~3.5x fewer TPU gather rows than
@@ -203,7 +204,10 @@ class RobotSDF(sdf.ObjectFrameSDF):
         :param joint_config: ``[A x] M``
         :param query_range: ``(min, max)`` per dimension
         :param resolution: grid sweep step
-        :return: ``(val [A x] n1 x n2 x n3, grad ... x 3)`` over the grid
+        :param values_only: skip the gradient output (~2x faster at scale;
+            gradients stopped — collision checks / occupancy rasters)
+        :return: ``(val [A x] n1 x n2 x n3, grad ... x 3)`` over the grid,
+            or just ``val`` with ``values_only=True``
         """
         from pytorch_volumetric_tpu.voxel import (
             get_coherent_grid_points, get_coordinates_and_points_in_grid)
@@ -229,6 +233,8 @@ class RobotSDF(sdf.ObjectFrameSDF):
             q = as_float_array(joint_config)
             q_batch = q.shape[:-1]
             vv, gg = self.query(joint_config, pts_g)
+            if values_only:
+                return jax.lax.stop_gradient(vv).reshape(q_batch + grid_shape)
             return (vv.reshape(q_batch + grid_shape),
                     gg.reshape(q_batch + grid_shape + (3,)))
 
@@ -237,18 +243,23 @@ class RobotSDF(sdf.ObjectFrameSDF):
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
         q_flat = q.reshape(-1, q.shape[-1])
-        if self._query_grid_jit is None:
+        cache_attr = "_query_grid_vjit" if values_only else "_query_grid_jit"
+        if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)
 
             def fn(qf, pf, fast_tables):
                 m, m_inv = self._link_transforms(qf)
                 return compose_query_coherent(children, m, m_inv,
                                               qf.shape[0], pf,
-                                              fast_tables=fast_tables)
+                                              fast_tables=fast_tables,
+                                              values_only=values_only)
 
-            self._query_grid_jit = jax.jit(fn)
-        vv, gg = self._query_grid_jit(q_flat, pts,
-                                      sdf.coherent_fast_tables(self.sdf.sdfs))
+            setattr(self, cache_attr, jax.jit(fn))
+        out = getattr(self, cache_attr)(
+            q_flat, pts, sdf.coherent_fast_tables(self.sdf.sdfs))
+        if values_only:
+            return out[:, take_idx].reshape(q_batch + grid_shape)
+        vv, gg = out
         vv = vv[:, take_idx].reshape(q_batch + grid_shape)
         gg = gg[:, take_idx].reshape(q_batch + grid_shape + (3,))
         return vv, gg

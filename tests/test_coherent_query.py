@@ -241,3 +241,14 @@ def test_values_only_all_generic_children():
     v_full, _ = comp.query_coherent(pts)
     v_only = comp.query_coherent(pts, values_only=True)
     np.testing.assert_array_equal(np.asarray(v_only), np.asarray(v_full))
+
+
+def test_query_grid_values_only(robot):
+    q = _configs()
+    query_range = np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]])
+    v_full, _ = robot.query_grid(q, query_range, 0.02)
+    v_only = robot.query_grid(q, query_range, 0.02, values_only=True)
+    np.testing.assert_array_equal(np.asarray(v_only), np.asarray(v_full))
+    # generic fallback (too-coarse sweep) honors the flag as well
+    v_gen = robot.query_grid(q, query_range, 0.03, values_only=True)
+    assert v_gen.shape[0] == 3
