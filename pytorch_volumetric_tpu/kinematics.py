@@ -129,6 +129,12 @@ class Chain:
             if by_name[master].mimic is not None:
                 raise ValueError(f"chained mimic ({j.name} -> {master}) is "
                                  "not supported")
+            if by_name[master].joint_type not in ACTUATED_TYPES:
+                raise ValueError(
+                    f"mimic joint {j.name} references "
+                    f"{by_name[master].joint_type!r} joint {master}; the "
+                    "mimic master must be an actuated (revolute/prismatic/"
+                    "continuous) non-mimic joint")
             self._mimic[j.name] = (master, float(mult), float(off))
         # static per-frame data for FK
         self._origins = {f.name: jnp.asarray(
@@ -296,6 +302,18 @@ class SerialChain(Chain):
 # URDF parsing
 # ---------------------------------------------------------------------------
 
+def _uniform_scale(s: np.ndarray, context: str) -> float:
+    """Collapse a 1-3 component mesh ``scale`` to a single float, warning on
+    non-uniform components (this engine applies mesh scale uniformly; a
+    silent drop of y/z would mis-shape the geometry without any signal)."""
+    if s.size == 0:
+        return 1.0
+    if s.size > 1 and not np.allclose(s, s[0]):
+        logger.warning("non-uniform mesh scale %s in %s is not supported; "
+                       "using the x component %g uniformly", s, context, s[0])
+    return float(s[0])
+
+
 def _parse_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
     if geom_elem is None:
         return None, ()
@@ -303,8 +321,8 @@ def _parse_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
     if mesh is not None:
         scale = mesh.get("scale")
         if scale is not None:
-            s = np.fromstring(scale, sep=" ")
-            scale = float(s[0]) if s.size else 1.0
+            scale = _uniform_scale(np.fromstring(scale, sep=" "),
+                                   f"URDF mesh {mesh.get('filename')}")
         return "mesh", (mesh.get("filename"), scale)
     box = geom_elem.find("box")
     if box is not None:
@@ -427,8 +445,8 @@ def _parse_sdf_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
         scale_txt = mesh.findtext("scale")
         scale = None
         if scale_txt:
-            s = np.fromstring(scale_txt, sep=" ")
-            scale = float(s[0]) if s.size else 1.0
+            scale = _uniform_scale(np.fromstring(scale_txt, sep=" "),
+                                   f"SDF mesh {uri}")
         return "mesh", (uri, scale)
     box = geom_elem.find("box")
     if box is not None:
@@ -489,6 +507,15 @@ def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
             xyz = axis_elem.findtext("xyz")
             if xyz:
                 axis = np.fromstring(xyz, sep=" ")
+            # SDF <=1.6: <use_parent_model_frame>true</> means the axis xyz
+            # is expressed in the MODEL frame (Gazebo-era convention), not
+            # the joint frame.  Rotate it into the joint frame (child pose
+            # composed with the joint's own <pose>).
+            upmf = (axis_elem.findtext("use_parent_model_frame") or "").strip()
+            if upmf.lower() in ("1", "true"):
+                R_joint = (X_c @ (joint_offset if joint_offset is not None
+                                  else np.eye(4)))[:3, :3]
+                axis = R_joint.T @ axis
             limit_elem = axis_elem.find("limit")
             if limit_elem is not None and limit_elem.findtext("lower"):
                 limits = (float(limit_elem.findtext("lower")),
@@ -635,8 +662,8 @@ def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
             scale_attr = m.get("scale")
             scale = None
             if scale_attr:
-                s = np.fromstring(scale_attr, sep=" ")
-                scale = float(s[0]) if s.size else 1.0
+                scale = _uniform_scale(np.fromstring(scale_attr, sep=" "),
+                                       f"MJCF mesh {m.get('file')}")
             meshes[m.get("name") or os.path.splitext(
                 os.path.basename(m.get("file")))[0]] = (m.get("file"), scale)
 

@@ -51,6 +51,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         self.sdf_to_link_name = []
         self.configuration_batch = None
         self._query_jit = None
+        self._query_aux_treedef = None
         self._query_grid_jit = None
 
         sdfs = []
@@ -153,13 +154,16 @@ class RobotSDF(sdf.ObjectFrameSDF):
         pts_batch = pts.shape[:-1]
         pts_flat = pts.reshape(-1, pts.shape[-1])
 
-        if self._query_jit is None:
+        # big per-link tables as arguments, not captured constants (see
+        # ARCHITECTURE.md); re-fetched per call so table swaps take effect.
+        # The jitted fn bakes in the aux TREEDEF, so invalidate it if a
+        # child's aux structure changed (e.g. table swap changing leaf count).
+        leaves, treedef = jax.tree_util.tree_flatten(
+            tuple(s.raw_query_aux() for s in self.sdf.sdfs))
+        if self._query_jit is None or self._query_aux_treedef != treedef:
             fn, _ = self.fused_query_fn()
             self._query_jit = jax.jit(fn)
-        # big per-link tables as arguments, not captured constants (see
-        # ARCHITECTURE.md); re-fetched per call so table swaps take effect
-        leaves = jax.tree_util.tree_leaves(
-            tuple(s.raw_query_aux() for s in self.sdf.sdfs))
+            self._query_aux_treedef = treedef
         vv, gg = self._query_jit(q_flat, pts_flat, *leaves)
         out_batch = q_batch + pts_batch
         return vv.reshape(out_batch), gg.reshape(out_batch + (3,))

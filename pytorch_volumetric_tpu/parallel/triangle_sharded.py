@@ -86,7 +86,10 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
 
         def raw(pts):
             dist, closest, face_n, wind = sharded(pts, self.tri, self.normals)
-            inside = wind > 0.5
+            # |winding| to match MeshSDF / signed_closest_query: an
+            # inward-wound mesh has winding -1 inside and must still
+            # classify as inside (reference sign semantics sdf.py:147-157).
+            inside = jnp.abs(wind) > 0.5
             sign = jnp.where(inside, -1.0, 1.0).astype(pts.dtype)
             sdf_val = sign * dist
             away = pts - closest

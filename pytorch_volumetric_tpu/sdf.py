@@ -69,7 +69,8 @@ class ObjectFactory(abc.ABC):
     def __init__(self, name="", scale=1.0, vis_frame_pos=(0, 0, 0),
                  vis_frame_rot=(0, 0, 0, 1), plausible_suboptimality=0.001,
                  mesh: Optional[mesh_mod.TriangleMesh] = None,
-                 surface_normal_eps: float = 1e-3, **kwargs):
+                 surface_normal_eps: float = 1e-3,
+                 winding_threshold: float = 0.5, **kwargs):
         self.name = name
         self.scale = scale if scale is not None else 1.0
         # frame from the mesh's own frame to the object (simulation) frame
@@ -78,6 +79,14 @@ class ObjectFactory(abc.ABC):
         self.other_load_kwargs = kwargs
         self.plausible_suboptimality = plausible_suboptimality
         self.surface_normal_eps = surface_normal_eps
+        # inside ⇔ |generalized winding number| > winding_threshold.  For
+        # watertight meshes the winding is ~0/±1 and 0.5 is robust.  For OPEN
+        # (non-watertight) meshes the winding varies continuously: points near
+        # the hole see values near ±0.5 and classification becomes geometry-
+        # dependent — the same regime where the reference's jittered ray
+        # parity (sdf.py:147-154) is stochastic.  Lower the threshold to
+        # classify more space "inside" an open shell, raise it for less.
+        self.winding_threshold = winding_threshold
 
         self._mesh = mesh
         self._scene: Optional[mesh_mod.MeshScene] = None
@@ -89,6 +98,8 @@ class ObjectFactory(abc.ABC):
                        vis_frame_pos=self.vis_frame_pos,
                        vis_frame_rot=self.vis_frame_rot,
                        plausible_suboptimality=self.plausible_suboptimality,
+                       surface_normal_eps=self.surface_normal_eps,
+                       winding_threshold=self.winding_threshold,
                        **self.other_load_kwargs), (self.name,)
 
     def make_collision_obj(self, z, rgba=None):
@@ -125,11 +136,13 @@ class ObjectFactory(abc.ABC):
         if self._scene is None:
             self._scene = mesh_mod.MeshScene.from_mesh(self._mesh)
             eps = self.surface_normal_eps
+            thr = self.winding_threshold
             tri, normals = self._scene.tri, self._scene.normals
 
             def raw(pts):
                 return signed_closest_query(pts, tri, normals,
-                                            surface_normal_eps=eps)
+                                            surface_normal_eps=eps,
+                                            winding_threshold=thr)
 
             self._query_fn = jax.jit(raw)
 
@@ -180,6 +193,8 @@ class MeshObjectFactory(ObjectFactory):
                        scale=self.scale, vis_frame_pos=self.vis_frame_pos,
                        vis_frame_rot=self.vis_frame_rot,
                        plausible_suboptimality=self.plausible_suboptimality,
+                       surface_normal_eps=self.surface_normal_eps,
+                       winding_threshold=self.winding_threshold,
                        **self.other_load_kwargs), (self.name,)
 
     def get_mesh_resource_filename(self) -> str:
@@ -386,8 +401,9 @@ class CapsuleSDF(ObjectFrameSDF):
         return dist, grad
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
-        r = self.radius + padding
-        h = self.height / 2.0 + self.radius + padding
+        r = self.radius + padding + padding_ratio * 2 * self.radius
+        h = (self.height / 2.0 + self.radius + padding
+             + padding_ratio * (self.height + 2 * self.radius))
         return jnp.asarray([[-r, r], [-r, r], [-h, h]])
 
 
@@ -426,10 +442,12 @@ class MeshSDF(ObjectFrameSDF):
         scene = obj_factory.scene
         tri, normals = scene.tri, scene.normals
         eps = obj_factory.surface_normal_eps
+        thr = getattr(obj_factory, "winding_threshold", 0.5)
 
         def raw(pts):
             _, val, grad, _ = signed_closest_query(pts, tri, normals,
-                                                   surface_normal_eps=eps)
+                                                   surface_normal_eps=eps,
+                                                   winding_threshold=thr)
             return val, grad
 
         self._raw = _straight_through_sdf(raw)

@@ -31,6 +31,8 @@ Array = jnp.ndarray
 # contractions are nowhere near the FLOP budget, so force full precision.
 MM_PRECISION = jax.lax.Precision.HIGHEST
 
+ArrayLike = Union[Array, np.ndarray, Sequence[float], float]
+
 
 def mm(a: ArrayLike, b: ArrayLike) -> Array:
     """Full-precision matmul for transform chains (see MM_PRECISION)."""
@@ -40,7 +42,6 @@ def mm(a: ArrayLike, b: ArrayLike) -> Array:
 def precise_einsum(spec: str, *args) -> Array:
     """Full-precision einsum for transform/rotation contractions."""
     return jnp.einsum(spec, *args, precision=MM_PRECISION)
-ArrayLike = Union[Array, np.ndarray, Sequence[float], float]
 
 
 # ---------------------------------------------------------------------------
