@@ -118,7 +118,10 @@ class RobotSDF(sdf.ObjectFrameSDF):
         joint_config = as_float_array(joint_config)
         if joint_config.ndim > 1:
             self.configuration_batch = tuple(joint_config.shape[:-1])
-            q_flat = joint_config.reshape(-1, M)
+            # explicit leading size: -1 inference fails for 0-DOF robots
+            # (e.g. the single-fixed-link YcbPowerDrill URDF, M == 0)
+            q_flat = joint_config.reshape(
+                int(np.prod(self.configuration_batch)), M)
         else:
             self.configuration_batch = None
             q_flat = joint_config.reshape(1, M)
@@ -149,7 +152,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         """
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
-        q_flat = q.reshape(-1, q.shape[-1])
+        q_flat = q.reshape(max(int(np.prod(q_batch)), 1), q.shape[-1])
         pts = as_float_array(points_in_object_frame)
         pts_batch = pts.shape[:-1]
         pts_flat = pts.reshape(-1, pts.shape[-1])
@@ -246,7 +249,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
 
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
-        q_flat = q.reshape(-1, q.shape[-1])
+        q_flat = q.reshape(max(int(np.prod(q_batch)), 1), q.shape[-1])
         cache_attr = "_query_grid_vjit" if values_only else "_query_grid_jit"
         if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)
@@ -313,40 +316,21 @@ def narrow_band_link_sdf_factory(cell_res=None, band=None, padding=0.1,
     return create_sdf
 
 
+# Corner codes: bit d set <=> take the max bound along dimension d.  The two
+# orders below reproduce, bit-for-bit, the reference's hand-written corner
+# tables (reference model_to_sdf.py:136-171): a plain 8-corner enumeration,
+# and a 16-step wireframe drawing walk that revisits corners so consecutive
+# points always share an edge.
+_CORNER_ORDER = (0b000, 0b001, 0b010, 0b100, 0b110, 0b101, 0b011, 0b111)
+_CORNER_DRAW_WALK = (0b000, 0b001, 0b011, 0b010, 0b000, 0b100, 0b101, 0b001,
+                     0b101, 0b111, 0b011, 0b111, 0b110, 0b010, 0b110, 0b100)
+
+
 def aabb_to_ordered_end_points(aabb, arrange_in_sequential_order=False):
     """AABB [3, 2] -> 8 corners (or a 16-point sequential drawing order)
     (reference model_to_sdf.py:136-171)."""
     aabb = np.asarray(aabb)
-    aabbMin = aabb[:, 0]
-    aabbMax = aabb[:, 1]
-    if arrange_in_sequential_order:
-        arr = [
-            [aabbMin[0], aabbMin[1], aabbMin[2]],
-            [aabbMax[0], aabbMin[1], aabbMin[2]],
-            [aabbMax[0], aabbMax[1], aabbMin[2]],
-            [aabbMin[0], aabbMax[1], aabbMin[2]],
-            [aabbMin[0], aabbMin[1], aabbMin[2]],
-            [aabbMin[0], aabbMin[1], aabbMax[2]],
-            [aabbMax[0], aabbMin[1], aabbMax[2]],
-            [aabbMax[0], aabbMin[1], aabbMin[2]],
-            [aabbMax[0], aabbMin[1], aabbMax[2]],
-            [aabbMax[0], aabbMax[1], aabbMax[2]],
-            [aabbMax[0], aabbMax[1], aabbMin[2]],
-            [aabbMax[0], aabbMax[1], aabbMax[2]],
-            [aabbMin[0], aabbMax[1], aabbMax[2]],
-            [aabbMin[0], aabbMax[1], aabbMin[2]],
-            [aabbMin[0], aabbMax[1], aabbMax[2]],
-            [aabbMin[0], aabbMin[1], aabbMax[2]],
-        ]
-    else:
-        arr = [
-            [aabbMin[0], aabbMin[1], aabbMin[2]],
-            [aabbMax[0], aabbMin[1], aabbMin[2]],
-            [aabbMin[0], aabbMax[1], aabbMin[2]],
-            [aabbMin[0], aabbMin[1], aabbMax[2]],
-            [aabbMin[0], aabbMax[1], aabbMax[2]],
-            [aabbMax[0], aabbMin[1], aabbMax[2]],
-            [aabbMax[0], aabbMax[1], aabbMin[2]],
-            [aabbMax[0], aabbMax[1], aabbMax[2]],
-        ]
-    return np.array(arr)
+    codes = np.asarray(_CORNER_DRAW_WALK if arrange_in_sequential_order
+                       else _CORNER_ORDER)
+    take_max = (codes[:, None] >> np.arange(3)) & 1  # [K, 3] in {0, 1}
+    return np.where(take_max, aabb[:, 1], aabb[:, 0])
