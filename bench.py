@@ -129,6 +129,8 @@ def main():
     log(f"forward N=20: {fwd20_s * 1e3:.2f} ms "
         f"(reference 37.69 ms) -> {20 * M / fwd20_s / 1e6:.1f}M queries/s")
 
+    mesh_extra = bench_real_mesh(jax, jnp, pv, chained, N, log)
+
     print(json.dumps({
         "metric": "robot_sdf_query_throughput",
         "value": round(qps, 1),
@@ -140,8 +142,91 @@ def main():
             "forward_ms_20_configs": round(fwd20_s * 1e3, 3),
             "vs_baseline_20_configs": round(0.03769 / fwd20_s, 3),
             "baseline_qps": round(BASELINE_QPS, 1),
+            **mesh_extra,
         },
     }))
+
+
+def bench_real_mesh(jax, jnp, pv, chained, N, log):
+    """Mesh-real geometry rows: the YcbPowerDrill 15,728-face visual mesh as
+    (a) a free-6DOF robot with a cached link (res 0.02 / pad 1.0, matching the
+    reference benchmark setup at tests/test_model_to_sdf.py:182) and (b) a
+    direct exact `MeshSDF` sweep, which on TPU runs the Pallas triangle
+    kernel.  Skipped (empty dict) if the reference assets are absent."""
+    import numpy as np
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
+    from pytorch_volumetric_tpu.utils.robots import make_free_object_urdf
+    from pytorch_volumetric_tpu.utils.profiling import device_time
+
+    drill_obj = "/root/reference/tests/YcbPowerDrill/textured_simple_reoriented.obj"
+    if not os.path.exists(drill_obj):
+        return {}
+    extra = {}
+
+    # (a) free-object drill robot on the coherent cached path
+    d = os.path.join(BENCH_DIR, "drill")
+    urdf_path, obj_name = make_free_object_urdf(d, drill_obj,
+                                                object_name="drill")
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), obj_name)
+    t0 = time.perf_counter()
+    robot = pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.02, padding=1.0,
+            cache_path=os.path.join(BENCH_DIR, "sdf_cache_drill.npz")))
+    log(f"drill robot cache ready in {time.perf_counter() - t0:.1f}s")
+
+    query_range = np.array([[-0.75, 0.75], [0.02, 0.02], [-0.5, 0.5]])
+    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    M = take_idx.shape[0]
+    rng = np.random.default_rng(1)
+    th = jnp.asarray(np.concatenate(
+        [np.zeros((1, 6)),
+         rng.uniform(-0.2, 0.2, (N - 1, 6))]).astype(np.float32))
+
+    children = tuple(robot.sdf.sdfs)
+    ft = coherent_fast_tables(children)
+
+    def query_sum(q, p, f):
+        m, m_inv = robot._link_transforms(q)
+        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
+                                      fast_tables=f)
+        return v.sum() + g.sum()
+
+    reps = 10
+    fwd = chained(query_sum)
+    float(fwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(fwd(th, pts, ft))
+    fwd_s = (time.perf_counter() - t0) / reps
+    log(f"drill forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> "
+        f"{N * M / fwd_s / 1e6:.1f}M queries/s")
+
+    bwd = chained(lambda q, p, f: jax.grad(
+        lambda qq: query_sum(qq, p, f))(q).sum())
+    float(bwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(bwd(th, pts, ft))
+    bwd_s = (time.perf_counter() - t0) / reps
+    log(f"drill forward+backward: {bwd_s * 1e3:.2f} ms -> "
+        f"{N * M / bwd_s / 1e6:.1f}M queries/s")
+    extra["drill_robot_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
+    extra["drill_robot_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
+
+    # (b) exact MeshSDF sweep over the raw 15,728-face mesh (Pallas on TPU)
+    mesh_sdf = pv.MeshSDF(pv.MeshObjectFactory(drill_obj))
+    P = 131072
+    qpts = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 3)).astype(np.float32))
+    dt = device_time(lambda p: mesh_sdf.raw_query(p)[0], qpts, reps=3)
+    nf = mesh_sdf.obj_factory._mesh.faces.shape[0]
+    log(f"exact MeshSDF ({nf} faces, backend={jax.default_backend()}): "
+        f"{dt * 1e3:.2f} ms for {P} pts -> {P / dt / 1e6:.2f}M q/s, "
+        f"{P * nf / dt / 1e9:.0f}G point-tri/s")
+    extra["pallas_mesh_sdf_qps_M"] = round(P / dt / 1e6, 2)
+    extra["pallas_mesh_sdf_faces"] = int(nf)
+    extra["pallas_mesh_sdf_gpointtri_s"] = round(P * nf / dt / 1e9, 1)
+    return extra
 
 
 if __name__ == "__main__":

@@ -31,6 +31,9 @@ import pytorch_volumetric_tpu as pv
 from pytorch_volumetric_tpu.models import fit_config_space_sdf
 from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
+# PVT_EXAMPLE_SMOKE=1: tiny model/budget for the CI smoke test
+SMOKE = bool(os.environ.get("PVT_EXAMPLE_SMOKE"))
+
 
 def main():
     # -- 1. exact oracle -----------------------------------------------------
@@ -40,14 +43,16 @@ def main():
     robot = pv.RobotSDF(
         chain, path_prefix=d,
         link_sdf_cls=pv.cache_link_sdf_factory(
-            resolution=0.03, padding=0.15,
+            resolution=0.06 if SMOKE else 0.03, padding=0.15,
             cache_path=os.path.join(d, "cache.npz")))
 
     # -- 2. distillation -----------------------------------------------------
     t0 = time.perf_counter()
     model, losses = fit_config_space_sdf(
-        robot, key=0, width=128, depth=4, fourier=64,
-        n_configs=128, pts_per_config=1024, steps=1500, batch=4096, lr=1e-3)
+        robot, key=0, width=32 if SMOKE else 128, depth=3 if SMOKE else 4,
+        fourier=16 if SMOKE else 64, n_configs=8 if SMOKE else 128,
+        pts_per_config=64 if SMOKE else 1024, steps=30 if SMOKE else 1500,
+        batch=256 if SMOKE else 4096, lr=1e-3)
     print(f"distilled in {time.perf_counter() - t0:.1f}s; "
           f"loss {float(losses[:50].mean()):.4f} -> "
           f"{float(losses[-50:].mean()):.4f}")
@@ -63,6 +68,8 @@ def main():
     v, _ = model.set_joint_configuration(qs)(pts)
     err = np.asarray(v - v_gt)
     shell = np.abs(np.asarray(v_gt)) < 0.1
+    losses_fl = float(losses[-1])
+    assert np.isfinite(losses_fl), losses_fl
     print(f"held-out rmse: overall {np.sqrt((err**2).mean()):.4f}, "
           f"near-surface {np.sqrt((err[shell]**2).mean()):.4f}")
 
@@ -86,7 +93,7 @@ def main():
         updates, state = opt.update(g, state, q)
         return optax.apply_updates(q, updates), state, loss
 
-    for it in range(60):
+    for it in range(10 if SMOKE else 60):
         q, state, loss = step(q, state)
     print(f"clearance loss after descent: {float(loss):.3e}")
 

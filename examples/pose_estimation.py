@@ -11,6 +11,7 @@ scored with `batch_chamfer_dist`.
 Run:  python examples/pose_estimation.py          (CPU or TPU, < 1 min)
 """
 
+import os
 import sys
 
 import numpy as np
@@ -21,6 +22,9 @@ import optax
 import pytorch_volumetric_tpu as pv
 from pytorch_volumetric_tpu import mesh as mesh_mod
 from pytorch_volumetric_tpu import transforms as tfm
+
+
+SMOKE = bool(os.environ.get("PVT_EXAMPLE_SMOKE"))
 
 
 def main():
@@ -75,9 +79,10 @@ def main():
 
     params = (t0, r0)
     opt_state = opt.init(params)
-    for it in range(300):
+    iters = 40 if SMOKE else 300
+    for it in range(iters):
         params, opt_state, loss = step(params, opt_state)
-        if it % 50 == 0 or it == 299:
+        if it % 50 == 0 or it == iters - 1:
             print(f"iter {it:3d}  total chamfer {float(loss):.6f}",
                   file=sys.stderr)
 
@@ -94,7 +99,9 @@ def main():
     pos_err = float(jnp.linalg.norm(t[best] - true_pos))
     print(f"best hypothesis {best}: chamfer {float(err[best]):.3f}, "
           f"translation error {pos_err * 1000:.1f} mm", file=sys.stderr)
-    assert pos_err < 0.02, "pose estimate did not converge"
+    if not SMOKE:  # smoke runs too few iterations to converge fully
+        assert pos_err < 0.02, "pose estimate did not converge"
+    assert np.isfinite(pos_err)
     print("ok")
 
 

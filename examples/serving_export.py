@@ -26,17 +26,19 @@ from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 from pytorch_volumetric_tpu.utils.serving import (export_robot_query,
                                                   load_robot_query)
 
+SMOKE = bool(os.environ.get("PVT_EXAMPLE_SMOKE"))
+
 
 def main():
     d = tempfile.mkdtemp(prefix="pvt_serving_")
 
     # -- producer ------------------------------------------------------------
-    urdf_path, end_link = make_serial_arm(d, num_joints=7)
+    urdf_path, end_link = make_serial_arm(d, num_joints=3 if SMOKE else 7)
     chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
     robot = pv.RobotSDF(
         chain, path_prefix=d,
         link_sdf_cls=pv.cache_link_sdf_factory(
-            resolution=0.03, padding=0.15,
+            resolution=0.06 if SMOKE else 0.03, padding=0.15,
             cache_path=os.path.join(d, "cache.npz")))
     artifact = os.path.join(d, "arm_query.bin")
     export_robot_query(robot, n_configs=16, n_points=1024, path=artifact)
@@ -46,7 +48,8 @@ def main():
     # -- consumer (only the two files) ---------------------------------------
     query = load_robot_query(artifact)
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 7)), dtype=jnp.float32)
+    M = 3 if SMOKE else 7
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (16, M)), dtype=jnp.float32)
     pts = jnp.asarray(rng.uniform(-0.6, 0.6, (1024, 3)), dtype=jnp.float32)
     val, grad = query(q, pts)
     print(f"query ok: val {val.shape}, grad {grad.shape}, "

@@ -23,6 +23,10 @@ import pytorch_volumetric_tpu as pv
 from pytorch_volumetric_tpu.sdf import compose_query
 from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
+# PVT_EXAMPLE_SMOKE=1 shrinks every knob so the CI smoke test can run each
+# example end-to-end in seconds without changing the code paths exercised
+SMOKE = bool(os.environ.get("PVT_EXAMPLE_SMOKE"))
+
 
 def main():
     # -- robot: procedural 7-DOF capsule arm with voxel-cached link SDFs -----
@@ -32,17 +36,18 @@ def main():
     robot = pv.RobotSDF(
         chain, path_prefix=d,
         link_sdf_cls=pv.cache_link_sdf_factory(
-            resolution=0.03, padding=0.15,
+            resolution=0.06 if SMOKE else 0.03, padding=0.15,
             cache_path=os.path.join(d, "cache.npz")))
 
     # -- obstacle: a ball of points the arm must clear -----------------------
     rng = np.random.default_rng(0)
     center = np.array([0.35, 0.0, 0.7], dtype=np.float32)
     obstacle = jnp.asarray(
-        center + 0.12 * rng.normal(size=(256, 3)).astype(np.float32))
+        center + 0.12 * rng.normal(
+            size=(64 if SMOKE else 256, 3)).astype(np.float32))
 
     # -- trajectory: T waypoints between fixed endpoints ---------------------
-    T, M = 24, 7
+    T, M = (8 if SMOKE else 24), 7
     q_start = jnp.zeros(M)
     q_goal = jnp.asarray([1.2, -0.6, 0.8, 0.9, -0.5, 0.4, 0.0])
     alphas = jnp.linspace(0.0, 1.0, T)[:, None]
@@ -70,9 +75,10 @@ def main():
 
     q_mid = q_init[1:-1]
     opt_state = opt.init(q_mid)
-    for it in range(120):
+    iters = 25 if SMOKE else 120
+    for it in range(iters):
         q_mid, opt_state, loss, min_sdf = step(q_mid, opt_state)
-        if it % 20 == 0 or it == 119:
+        if it % 20 == 0 or it == iters - 1:
             print(f"iter {it:3d}  loss {float(loss):8.4f}  "
                   f"min clearance {float(min_sdf):+.3f} m", file=sys.stderr)
 
@@ -80,7 +86,8 @@ def main():
     final_min = float(jax.jit(loss_fn)(q_mid)[1])
     print(f"final min clearance along trajectory: {final_min:+.3f} m "
           f"(target > 0, margin {margin})", file=sys.stderr)
-    assert final_min > 0.0, "trajectory still in collision"
+    if not SMOKE:  # few smoke iterations may not fully clear
+        assert final_min > 0.0, "trajectory still in collision"
     print("ok")
     return q_mid
 

@@ -206,41 +206,158 @@ def _parse_stl(data: bytes) -> TriangleMesh:
     return TriangleMesh(uniq, f)
 
 
-def _parse_ply_ascii(text: str) -> TriangleMesh:
-    lines = text.splitlines()
-    nv = nf = 0
-    i = 0
-    for i, line in enumerate(lines):
-        if line.startswith("element vertex"):
-            nv = int(line.split()[-1])
-        elif line.startswith("element face"):
-            nf = int(line.split()[-1])
-        elif line.strip() == "end_header":
-            break
-    body = lines[i + 1:]
-    verts = np.array([[float(x) for x in body[j].split()[:3]] for j in range(nv)])
-    faces = []
-    for j in range(nv, nv + nf):
-        parts = [int(x) for x in body[j].split()]
-        idx = parts[1:1 + parts[0]]
-        for k in range(1, len(idx) - 1):
-            faces.append((idx[0], idx[k], idx[k + 1]))
-    return TriangleMesh(verts, np.array(faces, dtype=np.int32))
+_PLY_SCALARS = {  # (struct format char, byte size)
+    "char": ("b", 1), "int8": ("b", 1), "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2), "ushort": ("H", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
 
 
-def read_triangle_mesh(path: str) -> TriangleMesh:
-    """Load OBJ / STL / PLY(ascii). Replacement for
-    ``o3d.io.read_triangle_mesh`` (reference sdf.py:103)."""
+def _parse_ply(data: bytes) -> TriangleMesh:
+    """PLY in ascii or binary_little/big_endian form, tolerating extra vertex
+    properties (normals, colors) and polygonal faces (fan-triangulated)."""
+    end = data.find(b"end_header")
+    if end < 0:
+        raise ValueError("not a PLY file: missing end_header")
+    header = data[:end].decode("ascii", errors="ignore").splitlines()
+    body_start = data.find(b"\n", end) + 1
+
+    fmt = "ascii"
+    elements = []  # (name, count, [(prop_type, prop_name) | ("list", ct, it)])
+    for line in header:
+        tok = line.split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append((tok[1], int(tok[2]), []))
+        elif tok[0] == "property" and elements:
+            if tok[1] == "list":
+                elements[-1][2].append(("list", tok[2], tok[3], tok[-1]))
+            else:
+                elements[-1][2].append(("scalar", tok[1], tok[-1]))
+
+    verts, faces = [], []
+    if fmt == "ascii":
+        rows = data[body_start:].decode("ascii", errors="ignore").split("\n")
+        r = 0
+        for name, count, props in elements:
+            for _ in range(count):
+                parts = rows[r].split()
+                r += 1
+                if name == "vertex":
+                    xyz = {}
+                    col = 0
+                    for p in props:
+                        if p[0] == "scalar":
+                            if p[2] in ("x", "y", "z"):
+                                xyz[p[2]] = float(parts[col])
+                            col += 1
+                        else:  # list property on a vertex: consume it
+                            col += 1 + int(parts[col])
+                    verts.append((xyz["x"], xyz["y"], xyz["z"]))
+                elif name == "face":
+                    cnt = int(parts[0])
+                    idx = [int(x) for x in parts[1:1 + cnt]]
+                    for k in range(1, len(idx) - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+    else:
+        endian = "<" if "little" in fmt else ">"
+        off = body_start
+        for name, count, props in elements:
+            fixed = all(p[0] == "scalar" for p in props)
+            if name == "vertex" and fixed:
+                # fast path: constant stride, read x/y/z at their offsets
+                stride = sum(_PLY_SCALARS[p[1]][1] for p in props)
+                rec = np.frombuffer(data[off:off + count * stride],
+                                    dtype=np.uint8).reshape(count, stride)
+                cols = {}
+                pos = 0
+                for p in props:
+                    ch, sz = _PLY_SCALARS[p[1]]
+                    if p[2] in ("x", "y", "z"):
+                        cols[p[2]] = rec[:, pos:pos + sz].copy().view(
+                            endian + ch).reshape(-1).astype(np.float64)
+                    pos += sz
+                verts = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+                off += count * stride
+                continue
+            for _ in range(count):
+                row = []
+                for p in props:
+                    if p[0] == "scalar":
+                        ch, sz = _PLY_SCALARS[p[1]]
+                        row.append(struct.unpack_from(endian + ch, data, off)[0])
+                        off += sz
+                    else:  # p = ("list", count_type, item_type, name)
+                        cch, csz = _PLY_SCALARS[p[1]]
+                        cnt = int(struct.unpack_from(endian + cch, data, off)[0])
+                        off += csz
+                        ich, isz = _PLY_SCALARS[p[2]]
+                        idx = struct.unpack_from(endian + ich * cnt, data, off)
+                        off += isz * cnt
+                        row.append(list(idx))
+                if name == "vertex":
+                    xyz = [v for p, v in zip(props, row)
+                           if p[0] == "scalar" and p[2] in ("x", "y", "z")]
+                    verts.append(tuple(float(v) for v in xyz))
+                elif name == "face":
+                    idx = next(v for p, v in zip(props, row) if p[0] == "list")
+                    for k in range(1, len(idx) - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+    return TriangleMesh(np.asarray(verts, dtype=np.float64),
+                        np.array(faces, dtype=np.int32).reshape(-1, 3))
+
+
+def _drop_degenerate_faces(mesh: TriangleMesh) -> TriangleMesh:
+    """Remove faces with a repeated vertex index (zero-area slivers from
+    sloppy exporters; they contribute nothing to distance or winding but
+    their zero-length edge cross products can produce NaN normals)."""
+    f = mesh.faces
+    ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    if ok.all():
+        return mesh
+    return TriangleMesh(mesh.vertices, f[ok])
+
+
+def weld_vertices(mesh: TriangleMesh, tolerance: float) -> TriangleMesh:
+    """Merge vertices closer than ``tolerance`` (snap-to-grid), so triangle
+    soups (e.g. STL) present closed connectivity to the winding-number sign.
+    ``tolerance=0`` merges exact duplicates only."""
+    v = mesh.vertices
+    key = np.round(v / tolerance) if tolerance > 0 else v
+    uniq, first, inv = np.unique(key, axis=0, return_index=True,
+                                 return_inverse=True)
+    del uniq
+    welded = TriangleMesh(v[first], inv[mesh.faces].astype(np.int32))
+    return _drop_degenerate_faces(welded)
+
+
+def read_triangle_mesh(path: str,
+                       weld_tolerance: Optional[float] = None) -> TriangleMesh:
+    """Load OBJ / STL / PLY (ascii or binary).  Replacement for
+    ``o3d.io.read_triangle_mesh`` (reference sdf.py:103).  Degenerate faces
+    (repeated vertex index) are dropped.  ``weld_tolerance`` merges vertices
+    within that distance after parsing (STL is always welded at 1e-9 since
+    its triangle soup has no connectivity)."""
     path = os.path.expanduser(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".stl":
         with open(path, "rb") as f:
-            return _parse_stl(f.read())
-    with open(path, "r", errors="ignore") as f:
-        text = f.read()
-    if ext == ".ply":
-        return _parse_ply_ascii(text)
-    return _parse_obj(text)
+            mesh = _parse_stl(f.read())
+    elif ext == ".ply":
+        with open(path, "rb") as f:
+            mesh = _parse_ply(f.read())
+    else:
+        with open(path, "r", errors="ignore") as f:
+            mesh = _parse_obj(f.read())
+    mesh = _drop_degenerate_faces(mesh)
+    if weld_tolerance is not None:
+        mesh = weld_vertices(mesh, weld_tolerance)
+    return mesh
 
 
 def save_obj(mesh: TriangleMesh, path: str) -> None:

@@ -130,12 +130,14 @@ def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
     return lambda q, pts: jitted(q, pts, *leaves)
 
 
-def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
+def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
+                                 values_only: bool = False) -> Callable:
     """Like :func:`sharded_robot_query` but on the segmented brick-gather
     fast path (``compose_query_coherent``) for spatially-coherent point
     sweeps.  ``P`` must divide into per-device chunks that are multiples of 4
     so segments stay intact under the point-axis sharding (contiguous chunk
-    per device)."""
+    per device).  ``values_only=True`` returns just ``val [A, P]`` (gradients
+    stopped; ~2x faster — collision checks / occupancy rasters)."""
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
                                             compose_query_coherent)
 
@@ -144,15 +146,17 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh) -> Callable:
     def fn(q, pts, fast_tables):
         m, m_inv = robot_sdf._link_transforms(q)
         return compose_query_coherent(children, m, m_inv, q.shape[0], pts,
-                                      fast_tables=fast_tables)
+                                      fast_tables=fast_tables,
+                                      values_only=values_only)
 
+    val_sh = NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS))
     jitted = jax.jit(
         fn,
         in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
                       NamedSharding(mesh, P(POINT_AXIS, None)),
                       NamedSharding(mesh, P())),  # tables replicated
-        out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
-                       NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
+        out_shardings=val_sh if values_only else
+        (val_sh, NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
     )
     ft = coherent_fast_tables(children)
     return lambda q, pts: jitted(q, pts, ft)

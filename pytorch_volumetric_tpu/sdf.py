@@ -70,7 +70,8 @@ class ObjectFactory(abc.ABC):
                  vis_frame_rot=(0, 0, 0, 1), plausible_suboptimality=0.001,
                  mesh: Optional[mesh_mod.TriangleMesh] = None,
                  surface_normal_eps: float = 1e-3,
-                 winding_threshold: float = 0.5, **kwargs):
+                 winding_threshold: float = 0.5,
+                 weld_tolerance: Optional[float] = None, **kwargs):
         self.name = name
         self.scale = scale if scale is not None else 1.0
         # frame from the mesh's own frame to the object (simulation) frame
@@ -87,6 +88,9 @@ class ObjectFactory(abc.ABC):
         # parity (sdf.py:147-154) is stochastic.  Lower the threshold to
         # classify more space "inside" an open shell, raise it for less.
         self.winding_threshold = winding_threshold
+        # merge vertices within this distance at load: triangle soups and
+        # unwelded exports then present closed connectivity to the winding
+        self.weld_tolerance = weld_tolerance
 
         self._mesh = mesh
         self._scene: Optional[mesh_mod.MeshScene] = None
@@ -100,6 +104,7 @@ class ObjectFactory(abc.ABC):
                        plausible_suboptimality=self.plausible_suboptimality,
                        surface_normal_eps=self.surface_normal_eps,
                        winding_threshold=self.winding_threshold,
+                       weld_tolerance=self.weld_tolerance,
                        **self.other_load_kwargs), (self.name,)
 
     def make_collision_obj(self, z, rgba=None):
@@ -126,7 +131,8 @@ class ObjectFactory(abc.ABC):
             full_path = os.path.expanduser(self.get_mesh_high_poly_resource_filename())
             if not os.path.exists(full_path):
                 raise RuntimeError(f"Expected mesh file does not exist: {full_path}")
-            m = mesh_mod.read_triangle_mesh(full_path)
+            m = mesh_mod.read_triangle_mesh(full_path,
+                                            weld_tolerance=self.weld_tolerance)
             m = m.scale(self.scale)
             R = np.asarray(tfm.quaternion_xyzw_to_matrix(
                 np.asarray(self.vis_frame_rot, dtype=np.float32)))
@@ -195,6 +201,7 @@ class MeshObjectFactory(ObjectFactory):
                        plausible_suboptimality=self.plausible_suboptimality,
                        surface_normal_eps=self.surface_normal_eps,
                        winding_threshold=self.winding_threshold,
+                       weld_tolerance=self.weld_tolerance,
                        **self.other_load_kwargs), (self.name,)
 
     def get_mesh_resource_filename(self) -> str:
@@ -585,47 +592,25 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 # spans <= 1.5 * cache resolution per dimension — true for regular-grid sweeps
 # like the reference benchmark, draw_sdf_slice, and voxelization), one gather
 # of a 4x4x4 voxel *brick* serves the whole segment and per-point values are
-# extracted on the VPU with a one-hot dot: S*P/4 rows of 256 B instead of
-# S*P rows of 16 B — ~3.5x fewer gather issues, and row width is nearly free.
-# Bricks overlap at stride 2 per dim (8x the value grid in HBM) so that any
-# segment whose integer keys span <= 2 voxels is guaranteed to land inside the
-# brick anchored at 2*floor(min_key/2).
+# extracted on the VPU with a one-hot dot: S*P/4 rows instead of S*P rows —
+# ~3.5x fewer gather issues, and row width is nearly free.  Because width is
+# free, brick rows carry all FOUR (value, grad) channels per cell, so the
+# value+gradient path issues exactly the same rows as the value-only path —
+# no separate winner-gradient gather.  Bricks overlap at stride 2 per dim
+# (32x the value grid in HBM, 8x the packed vg rows) so that any segment
+# whose integer keys span <= 2 voxels is guaranteed to land inside the brick
+# anchored at 2*floor(min_key/2).
 
 COHERENT_SEG = 4
 
-# concatenated winner-gradient tables per child-set (see
-# _coherent_union_lookup).  Keys are child-array ids; weakrefs detect both
-# child death and id reuse, and dead entries are purged on access so the
-# cache stays bounded by the number of LIVE child sets.
-_VG_CAT_CACHE: dict = {}
-
-
-def _vg_cat_for(tables) -> jnp.ndarray:
-    import weakref
-
-    key = tuple(id(t.vg) for t in tables)
-    hit = _VG_CAT_CACHE.get(key)
-    if hit is not None and all(r() is not None for r in hit[0]):
-        return hit[1]
-    for k in [k for k, v in _VG_CAT_CACHE.items()
-              if any(r() is None for r in v[0])]:
-        del _VG_CAT_CACHE[k]
-    vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
-    _VG_CAT_CACHE[key] = (tuple(weakref.ref(t.vg) for t in tables), vg_cat)
-    return vg_cat
-
 
 def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
-    """``(tables, vg_cat)`` for the coherent-fast children of ``children``
-    (in child order), ready to thread into
+    """The ``_CoherentTables`` tuple for the coherent-fast children of
+    ``children`` (in child order), ready to thread into
     :func:`compose_query_coherent`'s ``fast_tables`` as a jit argument.
-    Build ONCE outside the jit; the concatenated winner table is cached per
-    child-set."""
-    tables = tuple(s._coherent_tables() for s in children
-                   if _is_coherent_fast_child(s))
-    if not tables:  # all children take the generic sub-path
-        return (), jnp.zeros((1, 4), dtype=jnp.float32)
-    return tables, _vg_cat_for(tables)
+    Build ONCE outside the jit (the brick expansion is device work)."""
+    return tuple(s._coherent_tables() for s in children
+                 if _is_coherent_fast_child(s))
 
 
 def _is_coherent_fast_child(s) -> bool:
@@ -643,7 +628,7 @@ class _CoherentTables(NamedTuple):
     n: jnp.ndarray         # [3] int32 grid dims
     strides: jnp.ndarray   # [3] int32 ravel strides of the value grid
     vg: jnp.ndarray        # [G, 4] packed (value, grad) rows
-    bricks: jnp.ndarray    # [NB, 64] overlapping 4x4x4 value bricks
+    bricks: jnp.ndarray    # [NB, 256] overlapping 4x4x4 (value, grad) bricks
     bstrides: jnp.ndarray  # [3] int32 ravel strides of the brick grid
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
 
@@ -673,7 +658,8 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables]):
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
             seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
-            rows = bricks_list[ci][bflat]
+            # bricks carry (value, grad) per cell; channel 0 is the value
+            rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)[..., 0]
             off = ks - (corner2 * 2)[:, :, None, :]
             offf = jnp.sum(off * off_ravel, axis=-1)
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
@@ -690,23 +676,28 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables]):
 
 
 def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
-                           bases: Sequence[int],
-                           brick_sd: Sequence[tuple],
-                           vg_sd: tuple):
+                           brick_sd: Sequence[tuple]):
     """Returns a custom-VJP function ``lookup(pts_c [C, B, F, 3],
-    bricks_list, vg_cat) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
+    bricks_list) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
     evaluating the min-union of the cached children with brick gathers;
     ``g_link`` is the winner's gradient in the *winner's own frame* and
     ``oh`` the winner one-hot (for rotating back and for the
     straight-through VJP).
 
+    The brick rows carry all four (value, grad) channels per cell, so the
+    per-point gradient falls out of the same one-hot contraction as the
+    value — the value+gradient path issues exactly the brick rows and
+    nothing else (one row per (child, 4-point segment); no winner-row
+    gather).  At the measured ~170M rows/s TPU gather issue rate this is
+    the roofline for the cached union: C/4 rows per point.
+
     Only ``smalls``' tiny fields (lo/res/n/strides/bstrides/bb) are used —
     they MUST be concrete (their arithmetic has to constant-fold exactly
     like the generic path's, or borderline ``round()``\\ s flip by one
-    voxel).  The big arrays (``bricks_list`` per child, ``vg_cat``) are
-    explicit arguments so callers can thread them through jits: captured
-    constants at multi-hundred-MB scale cost minutes of compile per
-    retrace, and custom_vjp closures cannot capture argument tracers."""
+    voxel).  The big brick arrays are explicit arguments so callers can
+    thread them through jits: captured constants at multi-hundred-MB scale
+    cost minutes of compile per retrace, and custom_vjp closures cannot
+    capture argument tracers."""
     C = len(smalls)
     # small index constants; concrete even when (re)built inside a
     # jit/grad trace (a traced constant here would fail lowering under
@@ -716,16 +707,15 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
         child_iota = jnp.arange(C, dtype=jnp.int32)
 
-    def eval_union(pts_c, bricks_list, vg_cat):
+    def eval_union(pts_c, bricks_list):
         B, F = pts_c.shape[1], pts_c.shape[2]
         FS = F // COHERENT_SEG
-        best_v = best_i = best_flat = best_valid = best_g_oob = None
+        best_v = best_g = best_i = None
         for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
-            flat = jnp.sum(kc * t.strides, axis=-1) + bases[ci]
             ks = kc.reshape(B, FS, COHERENT_SEG, 3)
             corner2 = ks.min(axis=2) // 2                      # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
@@ -737,11 +727,17 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             # gather_nearest row-0 redirect).
             seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
-            rows = bricks_list[ci][bflat]                      # [B, FS, 64]
+            rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)
             off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
-            v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
+            # one-hot multiply-sum, NOT einsum/matmul: exactly one term per
+            # lane is nonzero, so the result is bit-identical to a direct
+            # row gather (and immune to TPU bf16 matmul passes)
+            vg_pt = jnp.sum(rows[:, :, None, :, :] * oh64[..., None],
+                            axis=3).reshape(B, F, 4)
+            v_in = vg_pt[..., 0]
+            g_in = vg_pt[..., 1:4]
             # out-of-bounds: distance-to-AABB under-approximation, carrying
             # its gradient through the min-union so no per-point winner
             # reconstruction is needed afterwards
@@ -751,32 +747,24 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             v_oob = jnp.linalg.norm(dtotal, axis=-1)
             g_oob = dtotal / jnp.maximum(v_oob, 1e-12)[..., None]
             v = jnp.where(valid, v_in, v_oob)
+            g = jnp.where(valid[..., None], g_in, g_oob)
             if best_v is None:
-                best_v, best_flat, best_valid = v, flat, valid
-                best_g_oob = g_oob
-                best_i = jnp.zeros_like(flat)
+                best_v, best_g = v, g
+                best_i = jnp.zeros(v.shape, dtype=jnp.int32)
             else:
                 better = v < best_v
                 best_v = jnp.where(better, v, best_v)
-                best_flat = jnp.where(better, flat, best_flat)
-                best_valid = jnp.where(better, valid, best_valid)
-                best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
+                best_g = jnp.where(better[..., None], g, best_g)
                 best_i = jnp.where(better, ci, best_i)
         oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
-        # single winner-row gather for the gradient; points whose winner is
-        # out of bounds use the AABB gradient anyway, so redirect them to
-        # row 0 (duplicated address -> cache hit, not a scattered read)
-        best_flat = jnp.where(best_valid, best_flat, 0)
-        g_in = vg_cat[best_flat][..., 1:4]
-        g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
-        return best_v, g_link, oh
+        return best_v, best_g, oh
 
     @jax.custom_vjp
-    def lookup(pts_c, bricks_list, vg_cat):
-        return eval_union(pts_c, bricks_list, vg_cat)
+    def lookup(pts_c, bricks_list):
+        return eval_union(pts_c, bricks_list)
 
-    def fwd(pts_c, bricks_list, vg_cat):
-        val, g_link, oh = eval_union(pts_c, bricks_list, vg_cat)
+    def fwd(pts_c, bricks_list):
+        val, g_link, oh = eval_union(pts_c, bricks_list)
         return (val, g_link, oh), (g_link, oh)
 
     def bwd(residual, cotangents):
@@ -787,8 +775,7 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         # tables are data, not parameters: zero cotangents (DCE'd upstream;
         # shapes statically known at lookup-build time)
         d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
-        d_vg = jnp.zeros(vg_sd[0], vg_sd[1])
-        return (d_pts, d_bricks, d_vg)
+        return (d_pts, d_bricks)
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -811,13 +798,13 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     (analytic primitives, ``MeshSDF``, trilinear/GT-fallback caches) are
     evaluated on the generic per-point path and min-combined afterwards.
 
-    ``fast_tables``: optional ``(tables, vg_cat)`` for the coherent-fast
-    children in child order, as built by :func:`coherent_fast_tables`.
-    Thread it through your jit as an ARGUMENT — the brick tables are 8x
-    the value grids, and captured constants at that scale cost minutes of
-    compile per retrace.  When omitted, tables are materialized at trace
-    time as program constants (correct, but slow to compile for big
-    robots).
+    ``fast_tables``: optional ``_CoherentTables`` tuple for the
+    coherent-fast children in child order, as built by
+    :func:`coherent_fast_tables`.  Thread it through your jit as an
+    ARGUMENT — the brick tables are 32x the value grids, and captured
+    constants at that scale cost minutes of compile per retrace.  When
+    omitted, tables are materialized at trace time as program constants
+    (correct, but slow to compile for big robots).
 
     ``values_only=True`` returns just ``val [B, F]``, skipping the winner
     gradient gather and its carries — measured ~2x faster at north-star
@@ -846,26 +833,22 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     best_v = best_g = None
     if fast:
         if fast_tables is not None:
-            tables, vg_cat = fast_tables
+            tables = fast_tables
             if len(tables) != len(fast):
                 raise ValueError(
                     f"fast_tables holds {len(tables)} table sets but "
                     f"{len(fast)} children take the coherent fast path")
         else:
             tables = [children[i]._coherent_tables() for i in fast]
-            with jax.ensure_compile_time_eval():
-                vg_cat = _vg_cat_for(tables)
         # the tiny per-child fields (lo/res/dims/strides/bb) must be
         # trace-time CONSTANTS even when tables arrive as jit-argument
         # tracers: as traced values XLA emits a true division for
         # (p - lo)/res where the generic path's constant folds to a
         # reciprocal multiply, and the 1-ulp quotient difference flips
         # borderline round()s by one voxel — breaking the bit-exactness
-        # contract.  Only the big arrays (bricks, vg_cat) stay arguments.
+        # contract.  Only the big brick arrays stay arguments.
         with jax.ensure_compile_time_eval():
             smalls = [children[i]._coherent_tables() for i in fast]
-        sizes = [int(t.vg.shape[0]) for t in smalls]
-        bases = np.concatenate([[0], np.cumsum(sizes)[:-1]]).tolist()
         if values_only:
             values = _coherent_union_values(smalls)
             best_v = values(
@@ -877,11 +860,9 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
         lookup = _coherent_union_lookup(
-            smalls, bases,
-            [(t.bricks.shape, t.bricks.dtype) for t in tables],
-            (vg_cat.shape, vg_cat.dtype))
+            smalls, [(t.bricks.shape, t.bricks.dtype) for t in tables])
         val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
-                                 tuple(t.bricks for t in tables), vg_cat)
+                                 tuple(t.bricks for t in tables))
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
         for ci, i in enumerate(fast):
             g_rot = tfm.rotate_vectors(R_back[i], g_link)
@@ -1128,8 +1109,8 @@ class CachedSDF(ObjectFrameSDF):
     Additions over the reference: optional ``interpolation="trilinear"``
     (smooth value/gradient instead of nearest-voxel staircase), and the
     segmented brick-gather fast path for coherent sweeps (the brick tables
-    cost 8x the value grid in device memory and are built lazily on first
-    coherent query).
+    cost 32x the value grid in device memory — 8x brick overlap times 4
+    (value, grad) channels — and are built lazily on first coherent query).
     """
 
     def __init__(self, object_name, resolution, range_per_dim,
@@ -1277,15 +1258,15 @@ class CachedSDF(ObjectFrameSDF):
 
     def _coherent_tables(self) -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
-        lazily): the packed (value, grad) rows plus overlapping 4x4x4 value
-        bricks at stride 2 per dimension."""
+        lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
+        of (value, grad) cells at stride 2 per dimension."""
         if getattr(self, "_coherent_cache", None) is not None:
             return self._coherent_cache
         return self._build_coherent_tables()
 
     def _build_coherent_tables(self) -> _CoherentTables:
-        # device-side build from the already-resident value grid: the 8x
-        # brick expansion never crosses the (slow, tunneled) host link.
+        # device-side build from the already-resident (value, grad) rows: the
+        # 32x brick expansion never crosses the (slow, tunneled) host link.
         # ensure_compile_time_eval keeps everything concrete even when this
         # lazy init is reached inside a jit/grad trace.
         n = np.asarray(self.voxels.shape, dtype=np.int64)
@@ -1293,18 +1274,20 @@ class CachedSDF(ObjectFrameSDF):
         npad = 2 * nb + 2              # max corner 2*(nb-1) + brick extent 4
         bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
         with jax.ensure_compile_time_eval():
-            padded = jnp.pad(self.voxels.raw_data,
-                             [(0, int(npad[d] - n[d])) for d in range(3)])
+            vol = self._vg.reshape(tuple(int(d) for d in n) + (4,))
+            padded = jnp.pad(vol, [(0, int(npad[d] - n[d]))
+                                   for d in range(3)] + [(0, 0)])
             parts = []
             for ux in range(4):
                 for uy in range(4):
                     for uz in range(4):
                         parts.append(jax.lax.slice(
-                            padded, (ux, uy, uz),
+                            padded, (ux, uy, uz, 0),
                             (ux + 2 * int(nb[0] - 1) + 1,
                              uy + 2 * int(nb[1] - 1) + 1,
-                             uz + 2 * int(nb[2] - 1) + 1), (2, 2, 2)))
-            bricks = jnp.stack(parts, axis=-1).reshape(-1, 64)
+                             uz + 2 * int(nb[2] - 1) + 1, 4), (2, 2, 2, 1)))
+            # cell-major rows: [NB, 64 cells x 4 channels]
+            bricks = jnp.stack(parts, axis=-2).reshape(-1, 256)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(

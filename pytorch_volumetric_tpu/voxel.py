@@ -242,20 +242,20 @@ class ExpandingVoxelGrid(VoxelGrid):
     def __setitem__(self, pts, value):
         pts = as_float_array(pts)
         if pts.size > 0:
-            mins = np.asarray(pts.reshape(-1, pts.shape[-1]).min(axis=0))
-            maxs = np.asarray(pts.reshape(-1, pts.shape[-1]).max(axis=0))
-            rng = np.array(self.range_per_dim, dtype=np.float64)
-            for dim in range(len(mins)):
-                over = maxs[dim] - rng[dim][1]
-                under = rng[dim][0] - mins[dim]
-                if over > 0:
-                    rng[dim][1] += math.ceil(over / self.resolution) * self.resolution
-                if under > 0:
-                    rng[dim][0] -= math.ceil(under / self.resolution) * self.resolution
-            if not np.allclose(rng, np.asarray(self.range_per_dim, dtype=np.float64)):
-                known_pos, known_values = self.get_known_pos_and_values()
-                self._create_voxels(self.resolution, rng)
-                super().__setitem__(known_pos, known_values)
+            flat = np.asarray(pts.reshape(-1, pts.shape[-1]))
+            cur = np.asarray(self.range_per_dim, dtype=np.float64)
+            # grow each bound outward in whole-resolution steps until every
+            # written point fits (vectorized over dims; zero overshoot keeps
+            # the bound exactly where it is)
+            overshoot = np.maximum(
+                np.stack([cur[:, 0] - flat.min(axis=0),
+                          flat.max(axis=0) - cur[:, 1]], axis=1), 0.0)
+            steps = np.ceil(overshoot / self.resolution)
+            grown = cur + steps * self.resolution * np.array([-1.0, 1.0])
+            if not np.allclose(grown, cur):
+                keep_pos, keep_vals = self.get_known_pos_and_values()
+                self._create_voxels(self.resolution, grown)
+                super().__setitem__(keep_pos, keep_vals)
         return super().__setitem__(pts, value)
 
 
@@ -294,23 +294,25 @@ def voxel_down_sample(points, resolution: float, range_per_dim=None,
     if points.shape[0] == 0:
         return points
     pts_np = np.asarray(points)
-    data_bounds = np.stack((pts_np.min(axis=0) - resolution * 2,
-                            pts_np.max(axis=0) + resolution * 2)).T
-    if range_per_dim is None or bounds_contain_another_bounds(range_per_dim, data_bounds):
-        range_per_dim = data_bounds
+    padded = np.stack((pts_np.min(axis=0) - 2 * resolution,
+                       pts_np.max(axis=0) + 2 * resolution)).T
+    if range_per_dim is None or bounds_contain_another_bounds(range_per_dim,
+                                                              padded):
+        range_per_dim = padded
+    bounds = np.asarray(range_per_dim, dtype=np.float64)
 
-    range_per_dim = np.asarray(range_per_dim, dtype=np.float64)
-    flat_z = ignore_flat_dim and range_per_dim[-1][0] == range_per_dim[-1][1]
-    flat_z_val = range_per_dim[-1][0]
-    if flat_z:
-        range_per_dim = range_per_dim[:-1]
-        points = points[..., :-1]
+    # a degenerate trailing dimension (min == max) cannot be voxelized: drop
+    # it for the scatter and splice the constant coordinate back afterwards
+    squeeze_last = ignore_flat_dim and bounds[-1, 0] == bounds[-1, 1]
+    if squeeze_last:
+        const_last = bounds[-1, 0]
+        bounds, points = bounds[:-1], points[..., :-1]
 
-    voxel = VoxelGrid(resolution, range_per_dim, dtype=jnp.bool_)
-    voxel[points] = True
-    pts, _ = voxel.get_known_pos_and_values()
+    occupancy = VoxelGrid(resolution, bounds, dtype=jnp.bool_)
+    occupancy[points] = True
+    centers, _ = occupancy.get_known_pos_and_values()
 
-    if flat_z:
-        pts = jnp.concatenate(
-            (pts, jnp.full((pts.shape[0], 1), flat_z_val, dtype=pts.dtype)), axis=-1)
-    return pts
+    if squeeze_last:
+        tail = jnp.full((centers.shape[0], 1), const_last, dtype=centers.dtype)
+        centers = jnp.concatenate((centers, tail), axis=-1)
+    return centers
