@@ -41,7 +41,21 @@ def main():
     import pytorch_volumetric_tpu as pv
     from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
-    log(f"devices: {jax.devices()}")
+    # the tunneled TPU backend can be transiently UNAVAILABLE (observed:
+    # ~30 min of in-process retry then a hard init error).  Backend state
+    # can't be reset in-process, so re-exec the whole script a few times.
+    try:
+        devices = jax.devices()
+    except RuntimeError as e:
+        tries = int(os.environ.get("PVT_BENCH_INIT_TRY", "0"))
+        if tries >= 3:
+            raise
+        log(f"backend init failed ({e}); re-exec attempt {tries + 1}/3 "
+            "after 120 s")
+        time.sleep(120)
+        os.environ["PVT_BENCH_INIT_TRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    log(f"devices: {devices}")
     os.makedirs(BENCH_DIR, exist_ok=True)
     arm_dir = os.path.join(BENCH_DIR, "arm")
     urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
@@ -101,6 +115,7 @@ def main():
 
         return run
 
+    chained.reps = reps  # single source of truth for helpers (bench_real_mesh)
     fwd = chained(query_sum)
     float(fwd(th, pts, ft))  # compile
     t0 = time.perf_counter()
@@ -194,7 +209,7 @@ def bench_real_mesh(jax, jnp, pv, chained, N, log):
                                       fast_tables=f)
         return v.sum() + g.sum()
 
-    reps = 10
+    reps = chained.reps  # the scan count baked into chained's closure
     fwd = chained(query_sum)
     float(fwd(th, pts, ft))
     t0 = time.perf_counter()

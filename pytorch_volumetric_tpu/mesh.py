@@ -200,10 +200,10 @@ def _parse_stl(data: bytes) -> TriangleMesh:
         rec = np.frombuffer(data[84:84 + n * 50], dtype=np.uint8).reshape(n, 50)
         tri = rec[:, 12:48].copy().view("<f4").reshape(n, 3, 3).astype(np.float64)
     v = tri.reshape(-1, 3)
-    # weld duplicate vertices so winding-number sign sees a closed mesh
-    uniq, inv = np.unique(np.round(v, 9), axis=0, return_inverse=True)
-    f = inv.reshape(-1, 3).astype(np.int32)
-    return TriangleMesh(uniq, f)
+    f = np.arange(v.shape[0], dtype=np.int32).reshape(-1, 3)
+    # triangle soup has no connectivity: weld so the winding-number sign
+    # sees a closed mesh
+    return weld_vertices(TriangleMesh(v, f), 1e-9)
 
 
 _PLY_SCALARS = {  # (struct format char, byte size)
@@ -260,10 +260,22 @@ def _parse_ply(data: bytes) -> TriangleMesh:
                             col += 1 + int(parts[col])
                     verts.append((xyz["x"], xyz["y"], xyz["z"]))
                 elif name == "face":
-                    cnt = int(parts[0])
-                    idx = [int(x) for x in parts[1:1 + cnt]]
-                    for k in range(1, len(idx) - 1):
-                        faces.append((idx[0], idx[k], idx[k + 1]))
+                    # walk the declared properties; the vertex-index list is
+                    # not necessarily first
+                    col = 0
+                    for p in props:
+                        if p[0] == "scalar":
+                            col += 1
+                        else:
+                            cnt = int(parts[col])
+                            toks = parts[col + 1:col + 1 + cnt]
+                            col += 1 + cnt
+                            # the index list has an integer item type
+                            # (texcoord lists etc. are float)
+                            if "float" not in p[2] and "double" not in p[2]:
+                                idx = [int(x) for x in toks]
+                                for k in range(1, len(idx) - 1):
+                                    faces.append((idx[0], idx[k], idx[k + 1]))
     else:
         endian = "<" if "little" in fmt else ">"
         off = body_start
@@ -301,11 +313,16 @@ def _parse_ply(data: bytes) -> TriangleMesh:
                         off += isz * cnt
                         row.append(list(idx))
                 if name == "vertex":
-                    xyz = [v for p, v in zip(props, row)
-                           if p[0] == "scalar" and p[2] in ("x", "y", "z")]
-                    verts.append(tuple(float(v) for v in xyz))
+                    by_name = {p[2]: v for p, v in zip(props, row)
+                               if p[0] == "scalar"}
+                    verts.append((float(by_name["x"]), float(by_name["y"]),
+                                  float(by_name["z"])))
                 elif name == "face":
-                    idx = next(v for p, v in zip(props, row) if p[0] == "list")
+                    # the vertex-index list has an integer item type
+                    # (texcoord lists etc. are float)
+                    idx = next(v for p, v in zip(props, row)
+                               if p[0] == "list" and "float" not in p[2]
+                               and "double" not in p[2])
                     for k in range(1, len(idx) - 1):
                         faces.append((idx[0], idx[k], idx[k + 1]))
     return TriangleMesh(np.asarray(verts, dtype=np.float64),

@@ -152,7 +152,10 @@ class RobotSDF(sdf.ObjectFrameSDF):
         """
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
-        q_flat = q.reshape(max(int(np.prod(q_batch)), 1), q.shape[-1])
+        # explicit leading size only for 0-DOF robots (where -1 inference
+        # fails); -1 otherwise so empty config batches (0, M) still work
+        q_flat = (q.reshape(int(np.prod(q_batch)), 0) if q.shape[-1] == 0
+                  else q.reshape(-1, q.shape[-1]))
         pts = as_float_array(points_in_object_frame)
         pts_batch = pts.shape[:-1]
         pts_flat = pts.reshape(-1, pts.shape[-1])
@@ -249,7 +252,8 @@ class RobotSDF(sdf.ObjectFrameSDF):
 
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
-        q_flat = q.reshape(max(int(np.prod(q_batch)), 1), q.shape[-1])
+        q_flat = (q.reshape(int(np.prod(q_batch)), 0) if q.shape[-1] == 0
+                  else q.reshape(-1, q.shape[-1]))
         cache_attr = "_query_grid_vjit" if values_only else "_query_grid_jit"
         if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)

@@ -162,3 +162,45 @@ def test_stl_roundtrip_binary(tmp_path):
     assert got.vertices.shape[0] == 8  # welded
     assert got.faces.shape[0] == 12
     assert np.allclose(sorted(got.vertices[:, 0]), sorted(box.vertices[:, 0]))
+
+
+def test_ply_property_order_robustness(tmp_path):
+    """Vertex properties out of xyz order and a scalar face property before
+    the index list must parse correctly in both ascii and binary form."""
+    verts = [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (7.0, 8.0, 9.0)]
+    # ascii: face has a leading scalar 'flags' property
+    p = str(tmp_path / "order.ply")
+    with open(p, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write("element vertex 3\n")
+        f.write("property float z\nproperty float y\nproperty float x\n")
+        f.write("element face 1\n")
+        f.write("property uchar flags\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for v in verts:
+            f.write(f"{v[2]} {v[1]} {v[0]}\n")  # written z y x
+        f.write("7 3 0 1 2\n")  # flags=7, then the triangle
+    got = m.read_triangle_mesh(p)
+    assert np.allclose(got.vertices, verts)
+    assert np.array_equal(got.faces, [[0, 1, 2]])
+
+    # binary: z/y/x vertex order plus a per-vertex list property to force
+    # the generic (non-fixed-stride) element walker
+    p2 = str(tmp_path / "order_bin.ply")
+    with open(p2, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               "element vertex 3",
+               "property float z", "property float y", "property float x",
+               "property list uchar float extras",
+               "element face 1",
+               "property uchar flags",
+               "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode())
+        for v in verts:
+            f.write(struct.pack("<fff", v[2], v[1], v[0]))
+            f.write(struct.pack("<Bff", 2, 0.5, 0.25))  # extras list
+        f.write(struct.pack("<B", 7))
+        f.write(struct.pack("<B3i", 3, 0, 1, 2))
+    got2 = m.read_triangle_mesh(p2)
+    assert np.allclose(got2.vertices, verts)
+    assert np.array_equal(got2.faces, [[0, 1, 2]])

@@ -170,3 +170,13 @@ def test_aabb_to_ordered_end_points():
         (x, y, z) for x in (0.0, 1.0) for y in (0.0, 2.0) for z in (0.0, 3.0)}
     pts16 = pv.aabb_to_ordered_end_points(bb, arrange_in_sequential_order=True)
     assert pts16.shape == (16, 3)
+
+
+def test_empty_configuration_batch(arm_sdf):
+    """A (0, M) configuration batch (e.g. emptied by upstream filtering)
+    yields well-formed empty results, not a reshape error."""
+    s = arm_sdf
+    pts = jnp.zeros((8, 3))
+    v, g = s.query(jnp.zeros((0, 3)), pts)
+    assert v.shape == (0, 8)
+    assert g.shape == (0, 8, 3)
