@@ -38,6 +38,10 @@ def main():
                     help="configurations per lax.map chunk (25 is the 16 GB "
                          "v5e sweet spot: 50 OOMs at 22.5 GB, 10 loses ~25%% "
                          "throughput to per-chunk latency)")
+    ap.add_argument("--robot", choices=["arm", "drill"], default="arm",
+                    help="'arm': procedural 7-DOF capsule arm (8 links); "
+                         "'drill': the reference's 15,728-face YcbPowerDrill "
+                         "mesh as a free-6DOF object (mesh-real geometry)")
     args = ap.parse_args()
 
     import jax
@@ -55,14 +59,24 @@ def main():
 
     log(f"devices: {jax.devices()}")
     os.makedirs(BENCH_DIR, exist_ok=True)
-    arm_dir = os.path.join(BENCH_DIR, "arm")
-    urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
+    if args.robot == "drill":
+        from pytorch_volumetric_tpu.utils.robots import make_free_object_urdf
+        drill_obj = ("/root/reference/tests/YcbPowerDrill/"
+                     "textured_simple_reoriented.obj")
+        d = os.path.join(BENCH_DIR, "drill")
+        urdf_path, end_link = make_free_object_urdf(d, drill_obj,
+                                                    object_name="drill")
+        cache = os.path.join(BENCH_DIR, "sdf_cache_drill.npz")
+        n_dof = 6
+    else:
+        arm_dir = os.path.join(BENCH_DIR, "arm")
+        urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
+        d, cache, n_dof = arm_dir, os.path.join(BENCH_DIR, "sdf_cache.npz"), 7
     chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
     robot = pv.RobotSDF(
-        chain, path_prefix=arm_dir,
+        chain, path_prefix=d,
         link_sdf_cls=pv.cache_link_sdf_factory(
-            resolution=0.02, padding=1.0,
-            cache_path=os.path.join(BENCH_DIR, "sdf_cache.npz")))
+            resolution=0.02, padding=1.0, cache_path=cache))
     log("robot + link caches ready")
 
     side = args.points_side
@@ -73,7 +87,7 @@ def main():
     N, C = args.configs, args.chunk
     assert N % C == 0
     rng = np.random.default_rng(0)
-    th = jnp.asarray(rng.normal(0, 0.3, (N, 7)).astype(np.float32))
+    th = jnp.asarray(rng.normal(0, 0.3, (N, n_dof)).astype(np.float32))
     children = tuple(robot.sdf.sdfs)
     # brick tables as jit arguments (captured constants at this scale cost
     # minutes of compile)
@@ -121,7 +135,7 @@ def main():
             f"{N * M / dt / 1e6:.1f}M queries/s (acc={acc:.3e})")
 
     print(json.dumps({
-        "metric": "northstar_200x1e6",
+        "metric": f"northstar_200x1e6_{args.robot}",
         "value": round(N * M / results["forward"], 1),
         "unit": f"config-point queries/s ({N} configs x {M} pts, fwd)",
         "extra": {
