@@ -180,6 +180,12 @@ def test_sharded_robot_query_coherent_matches_single(tmp_path):
         assert np.array_equal(np.asarray(v_sh), np.asarray(v_ref))
         assert np.array_equal(np.asarray(g_sh), np.asarray(g_ref))
 
+    # values_only variant: same values, no gradient output
+    vfn = parallel.sharded_robot_query_coherent(robot, mesh, values_only=True)
+    v_vo = vfn(q, pts)
+    assert v_vo.shape == v_sh.shape
+    np.testing.assert_allclose(np.asarray(v_vo), np.asarray(v_sh), atol=1e-6)
+
 
 def test_init_distributed_single_process_noop():
     """init_distributed with no coordinator and no cluster env is a no-op
