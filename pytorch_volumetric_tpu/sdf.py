@@ -38,7 +38,7 @@ import numpy as np
 from pytorch_volumetric_tpu import mesh as mesh_mod
 from pytorch_volumetric_tpu import transforms as tfm
 from pytorch_volumetric_tpu.ops.point_triangle import signed_closest_query
-from pytorch_volumetric_tpu.utils.batching import as_float_array, flatten_batch
+from pytorch_volumetric_tpu.utils.batching import as_float_array
 from pytorch_volumetric_tpu.utils.cache import get_store
 from pytorch_volumetric_tpu.voxel import (
     GridView, VoxelGrid, get_coordinates_and_points_in_grid,

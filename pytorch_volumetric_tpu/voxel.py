@@ -11,7 +11,6 @@ lives in jit-friendly free functions.
 from __future__ import annotations
 
 import abc
-import math
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
