@@ -150,10 +150,12 @@ def _sweep_chunk(points: jnp.ndarray, tri: jnp.ndarray, tri_chunk: int):
         jnp.zeros((P,), dtype=points.dtype),
         jnp.int32(0),
     )
-    # under shard_map the triangle shards are device-varying while the init
-    # constants are not; mark the carry as varying over those axes so the
-    # scan's carry types match
-    vma = tuple(jax.typeof(tri).vma) if hasattr(jax, "typeof") else ()
+    # under shard_map the triangle (and possibly point) shards are
+    # device-varying while the init constants are not; mark the carry as
+    # varying over the UNION of both operands' axes (a 2D point x triangle
+    # layout mixes them in the body) so the scan's carry types match
+    vma = (tuple(set(jax.typeof(tri).vma) | set(jax.typeof(points).vma))
+           if hasattr(jax, "typeof") else ())
     if vma:
         if hasattr(jax.lax, "pcast"):
             _pvary = lambda a: jax.lax.pcast(a, vma, to="varying")

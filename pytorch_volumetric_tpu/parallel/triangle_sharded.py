@@ -34,13 +34,22 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
     """
 
     def __init__(self, obj_factory: sdf_mod.ObjectFactory, device_mesh: Mesh,
-                 axis: str = None):
+                 axis: str = None, point_axis: str = None):
+        """``axis``: mesh axis the triangles shard over (default: the first).
+        ``point_axis``: optional second mesh axis to ALSO shard the query
+        points over (2D mesh = point-data-parallel x triangle-sharded — the
+        full scaling layout; point count must divide evenly).  With a 1D mesh
+        points are replicated."""
         self.obj_factory = obj_factory
         self.device_mesh = device_mesh
         self.axis = axis if axis is not None else device_mesh.axis_names[0]
+        self.point_axis = point_axis
         n_shards = device_mesh.shape[self.axis]
-        if len(device_mesh.axis_names) > 1:
-            raise ValueError("use a 1D mesh for triangle sharding")
+        extra = [a for a in device_mesh.axis_names if a != self.axis]
+        if extra and extra != [point_axis]:
+            raise ValueError(
+                f"mesh axes {device_mesh.axis_names}: pass point_axis= for "
+                f"the non-triangle axis (got point_axis={point_axis!r})")
 
         scene = obj_factory.scene
         Fp = scene.padded_faces
@@ -62,11 +71,15 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
 
         axis_name = self.axis
         eps = self.surface_normal_eps
+        # with a point axis, each device row sweeps its point shard against
+        # its triangle shard; collectives reduce over the triangle axis only,
+        # so the point axis stays embarrassingly parallel
+        pspec = P(point_axis) if point_axis else P()
 
         @functools.partial(
             jax.shard_map, mesh=device_mesh,
-            in_specs=(P(), P(axis_name), P(axis_name)),
-            out_specs=(P(), P(), P(), P()))
+            in_specs=(pspec, P(axis_name), P(axis_name)),
+            out_specs=(pspec, pspec, pspec, pspec))
         def sharded(pts, tri_local, normals_local):
             dist, cp, fid, wind = mesh_closest_query(pts, tri_local)
             wind = lax.psum(wind, axis_name)

@@ -107,6 +107,14 @@ def test_triangle_sharded_mesh_sdf(tmp_path):
     g = jax.grad(lambda q: sharded.raw_query(q)[0].sum())(pts)
     assert np.allclose(np.asarray(g), np.asarray(g1), atol=1e-5)
 
+    # 2D layout: points data-parallel x triangles sharded (4 tri x 2 point)
+    mesh2d = Mesh(np.array(jax.devices()).reshape(4, 2), ("tri", "point"))
+    sharded2d = TriangleShardedMeshSDF(fac, mesh2d, axis="tri",
+                                       point_axis="point")
+    v2, g2 = sharded2d(pts)
+    assert np.allclose(np.asarray(v2), np.asarray(v0), atol=1e-6)
+    assert np.allclose(np.asarray(g2), np.asarray(g0), atol=1e-5)
+
 
 def test_sphere_box_cylinder_capsule_primitives():
     from pytorch_volumetric_tpu.sdf import BoxSDF, CylinderSDF, CapsuleSDF
