@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import xml.etree.ElementTree as ET
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -136,12 +136,20 @@ class Chain:
                     "mimic master must be an actuated (revolute/prismatic/"
                     "continuous) non-mimic joint")
             self._mimic[j.name] = (master, float(mult), float(off))
-        # static per-frame data for FK
+        # static per-frame data for FK.  Axes are normalized here so EVERY
+        # joint type sees a unit axis (pytorch_kinematics normalizes at
+        # construction; axis_angle_to_matrix would re-normalize for revolute
+        # joints but prismatic translation uses the axis directly)
         self._origins = {f.name: jnp.asarray(
             f.joint.origin if f.joint is not None else np.eye(4), dtype=jnp.float32)
             for f in self._ordered}
+
+        def unit(a):
+            a = np.asarray(a, dtype=np.float64)
+            return a / max(np.linalg.norm(a), 1e-30)
+
         self._axes = {f.name: jnp.asarray(
-            f.joint.axis if f.joint is not None else np.array([0.0, 0, 1]),
+            unit(f.joint.axis) if f.joint is not None else np.array([0.0, 0, 1]),
             dtype=jnp.float32) for f in self._ordered}
         self._joint_offsets = {}
         for f in self._ordered:
@@ -278,11 +286,23 @@ class SerialChain(Chain):
 
         if not find(root, []):
             raise ValueError(f"end frame {end_frame_name!r} not found")
-        # rebuild a pruned single-branch tree
+        # rebuild a pruned single-branch tree.  A kept joint may mimic a
+        # master on a pruned branch (e.g. a gripper's other finger): it can
+        # no longer be driven, so promote it to an independent DOF with a
+        # warning rather than failing Chain construction.
+        kept_joints = {f.joint.name for f in path if f.joint is not None}
         pruned = None
         prev = None
         for f in path:
-            node = Frame(f.name, f.link, f.joint, [])
+            joint = f.joint
+            if joint is not None and joint.mimic is not None \
+                    and joint.mimic[0] not in kept_joints:
+                logger.warning(
+                    "serial chain pruned the branch holding %s's mimic "
+                    "master %s; treating %s as an independent joint",
+                    joint.name, joint.mimic[0], joint.name)
+                joint = replace(joint, mimic=None)
+            node = Frame(f.name, f.link, joint, [])
             if prev is not None:
                 prev.children.append(node)
             else:
@@ -312,6 +332,50 @@ def _uniform_scale(s: np.ndarray, context: str) -> float:
         logger.warning("non-uniform mesh scale %s in %s is not supported; "
                        "using the x component %g uniformly", s, context, s[0])
     return float(s[0])
+
+
+def _parse_limits(lower, upper, present: bool) -> Tuple[float, float]:
+    """Joint limits from optional lower/upper strings.  Either bound may be
+    omitted independently (URDF defaults an omitted bound to 0 when the other
+    is given); a <limit> with neither bound — the effort/velocity-only form
+    common on continuous joints — stays unbounded."""
+    lower = lower.strip() if isinstance(lower, str) else lower
+    upper = upper.strip() if isinstance(upper, str) else upper
+    if not present or (not lower and not upper):
+        return (-np.inf, np.inf)
+    return (float(lower) if lower else 0.0, float(upper) if upper else 0.0)
+
+
+def _assemble_tree(links: Dict[str, Link], joints: List[Joint],
+                   fmt: str) -> Frame:
+    """Root detection + recursive Frame-tree assembly shared by the URDF and
+    SDF parsers."""
+    children = {j.child_link for j in joints}
+    roots = [name for name in links if name not in children]
+    if len(roots) != 1:
+        raise ValueError(f"{fmt} must have exactly one root link, got {roots}")
+    by_parent: Dict[str, List[Joint]] = {}
+    for j in joints:
+        by_parent.setdefault(j.parent_link, []).append(j)
+
+    def build(link_name: str, joint: Optional[Joint]) -> Frame:
+        f = Frame(link_name, links[link_name], joint, [])
+        for j in by_parent.get(link_name, []):
+            f.children.append(build(j.child_link, j))
+        return f
+
+    return build(roots[0], None)
+
+
+def _serial(chain: Chain, end_link_name: str,
+            root_link_name: Optional[str]) -> SerialChain:
+    root = chain.root
+    if root_link_name is not None:
+        f = chain.find_frame(root_link_name)
+        if f is None:
+            raise ValueError(f"root link {root_link_name!r} not found")
+        root = f
+    return SerialChain(root, end_link_name)
 
 
 def _parse_geometry(geom_elem) -> Tuple[Optional[str], tuple]:
@@ -350,7 +414,6 @@ def build_chain_from_urdf(data: str) -> Chain:
         links[link.name] = link
 
     joints: List[Joint] = []
-    children = set()
     for j in robot.findall("joint"):
         jtype = j.get("type", "fixed")
         if jtype not in ACTUATED_TYPES + ("fixed",):
@@ -361,9 +424,10 @@ def build_chain_from_urdf(data: str) -> Chain:
         axis = (np.fromstring(axis_elem.get("xyz"), sep=" ")
                 if axis_elem is not None else np.array([1.0, 0, 0]))
         limit_elem = j.find("limit")
-        limits = (-np.inf, np.inf)
-        if limit_elem is not None and limit_elem.get("lower") is not None:
-            limits = (float(limit_elem.get("lower")), float(limit_elem.get("upper")))
+        limits = _parse_limits(
+            limit_elem.get("lower") if limit_elem is not None else None,
+            limit_elem.get("upper") if limit_elem is not None else None,
+            present=limit_elem is not None)
         mimic_elem = j.find("mimic")
         mimic = None
         if mimic_elem is not None and jtype in ACTUATED_TYPES:
@@ -376,37 +440,15 @@ def build_chain_from_urdf(data: str) -> Chain:
             parent_link=j.find("parent").get("link"),
             child_link=j.find("child").get("link"), limits=limits,
             mimic=mimic))
-        children.add(j.find("child").get("link"))
 
-    roots = [name for name in links if name not in children]
-    if len(roots) != 1:
-        raise ValueError(f"URDF must have exactly one root link, got {roots}")
-
-    by_parent: Dict[str, List[Joint]] = {}
-    for j in joints:
-        by_parent.setdefault(j.parent_link, []).append(j)
-
-    def build(link_name: str, joint: Optional[Joint]) -> Frame:
-        f = Frame(link_name, links[link_name], joint, [])
-        for j in by_parent.get(link_name, []):
-            f.children.append(build(j.child_link, j))
-        return f
-
-    return Chain(build(roots[0], None))
+    return Chain(_assemble_tree(links, joints, "URDF"))
 
 
 def build_serial_chain_from_urdf(data: str, end_link_name: str,
                                  root_link_name: Optional[str] = None) -> SerialChain:
     """``pytorch_kinematics.build_serial_chain_from_urdf`` equivalent
     (reference tests/test_model_to_sdf.py:49)."""
-    chain = build_chain_from_urdf(data)
-    root = chain.root
-    if root_link_name is not None:
-        f = chain.find_frame(root_link_name)
-        if f is None:
-            raise ValueError(f"root link {root_link_name!r} not found")
-        root = f
-    return SerialChain(root, end_link_name)
+    return _serial(build_chain_from_urdf(data), end_link_name, root_link_name)
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +529,6 @@ def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
         links[name] = link
 
     joints: List[Joint] = []
-    children = set()
     for j in model.findall("joint"):
         jtype = _SDF_JOINT_TYPES.get(j.get("type", "fixed"))
         if jtype is None:
@@ -496,6 +537,15 @@ def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
             jtype = "fixed"
         parent = j.findtext("parent")
         child = j.findtext("child")
+        if parent not in links:
+            # joints anchored to the implicit 'world' (or any undeclared)
+            # link: synthesize an empty root link at the model origin so the
+            # child keeps its model-frame pose
+            logger.info("SDF joint %s parent %r is not a declared link; "
+                        "synthesizing it as an empty root", j.get("name"),
+                        parent)
+            links[parent] = Link(parent)
+            link_pose[parent] = np.eye(4)
         X_p = link_pose.get(parent, np.eye(4))
         X_c = link_pose.get(child, np.eye(4))
         origin = np.linalg.solve(X_p, X_c)       # parent -> child at q = 0
@@ -517,40 +567,20 @@ def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
                                   else np.eye(4)))[:3, :3]
                 axis = R_joint.T @ axis
             limit_elem = axis_elem.find("limit")
-            if limit_elem is not None and limit_elem.findtext("lower"):
-                limits = (float(limit_elem.findtext("lower")),
-                          float(limit_elem.findtext("upper")))
+            if limit_elem is not None:
+                limits = _parse_limits(limit_elem.findtext("lower"),
+                                       limit_elem.findtext("upper"),
+                                       present=True)
         joints.append(Joint(name=j.get("name"), joint_type=jtype, origin=origin,
                             axis=axis, parent_link=parent, child_link=child,
                             limits=limits, joint_offset=joint_offset))
-        children.add(child)
 
-    roots = [name for name in links if name not in children]
-    if len(roots) != 1:
-        raise ValueError(f"SDF model must have exactly one root link, got {roots}")
-    by_parent: Dict[str, List[Joint]] = {}
-    for j in joints:
-        by_parent.setdefault(j.parent_link, []).append(j)
-
-    def build(link_name: str, joint: Optional[Joint]) -> Frame:
-        f = Frame(link_name, links[link_name], joint, [])
-        for j in by_parent.get(link_name, []):
-            f.children.append(build(j.child_link, j))
-        return f
-
-    return Chain(build(roots[0], None))
+    return Chain(_assemble_tree(links, joints, "SDF model"))
 
 
 def build_serial_chain_from_sdf(data: str, end_link_name: str,
                                 root_link_name: Optional[str] = None) -> SerialChain:
-    chain = build_chain_from_sdf(data)
-    root = chain.root
-    if root_link_name is not None:
-        f = chain.find_frame(root_link_name)
-        if f is None:
-            raise ValueError(f"root link {root_link_name!r} not found")
-        root = f
-    return SerialChain(root, end_link_name)
+    return _serial(build_chain_from_sdf(data), end_link_name, root_link_name)
 
 
 # ---------------------------------------------------------------------------
@@ -609,15 +639,20 @@ def _mjcf_body_matrix(elem, degrees: bool) -> np.ndarray:
     return m
 
 
-def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool):
+def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool,
+                     defaults=None, cls: str = ""):
     """MJCF <geom> -> Visual, translating MuJoCo's half-size conventions to
     the URDF-style full sizes the rest of the library uses.  Supports the
     ``fromto`` segment idiom for capsules/cylinders (pos/orientation derived
-    from the segment; ``size`` is just the radius there)."""
-    gtype = geom.get("type", "sphere")
-    size = np.fromstring(geom.get("size", "0"), sep=" ")
-    if geom.get("fromto") and gtype in ("capsule", "cylinder"):
-        ft = np.fromstring(geom.get("fromto"), sep=" ")
+    from the segment; ``size`` is just the radius there) and <default> class
+    resolution for type/size/fromto/mesh."""
+    defaults = defaults or {}
+    gtype = _mjcf_attr(geom, "type", defaults, cls, "geom", "sphere")
+    size = np.fromstring(_mjcf_attr(geom, "size", defaults, cls, "geom", "0"),
+                         sep=" ")
+    fromto = _mjcf_attr(geom, "fromto", defaults, cls, "geom")
+    if fromto and gtype in ("capsule", "cylinder"):
+        ft = np.fromstring(fromto, sep=" ")
         p1, p2 = ft[:3], ft[3:6]
         seg = p2 - p1
         length = float(np.linalg.norm(seg))
@@ -628,7 +663,7 @@ def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool):
         return Visual(gtype, (float(size[0]), length), offset)
     offset = _mjcf_body_matrix(geom, degrees)
     if gtype == "mesh":
-        name = geom.get("mesh")
+        name = _mjcf_attr(geom, "mesh", defaults, cls, "geom")
         if name not in meshes:
             logger.warning("MJCF geom references unknown mesh %r", name)
             return None
@@ -646,15 +681,54 @@ def _parse_mjcf_geom(geom, meshes: Dict[str, tuple], degrees: bool):
     return None
 
 
+def _collect_mjcf_defaults(root_elem) -> Dict[str, Dict[str, Dict[str, str]]]:
+    """MJCF ``<default>`` class table: class name -> {"joint"|"geom" ->
+    merged attribute dict}.  Nested ``<default class=...>`` elements inherit
+    their parent class's attributes (MuJoCo's defaults mechanism); the
+    anonymous top-level default is stored as ``"main"``."""
+    table: Dict[str, Dict[str, Dict[str, str]]] = {}
+
+    def walk(delem, inherited):
+        merged = {tag: dict(inherited.get(tag, {})) for tag in ("joint", "geom")}
+        for tag in ("joint", "geom"):
+            e = delem.find(tag)
+            if e is not None:
+                merged[tag].update(e.attrib)
+        table[delem.get("class") or "main"] = merged
+        for child in delem.findall("default"):
+            walk(child, merged)
+
+    for d in root_elem.findall("default"):
+        walk(d, table.get("main", {}))
+    return table
+
+
+def _mjcf_attr(elem, key: str, defaults, cls: str, tag: str, fallback=None):
+    """Attribute with MJCF defaults resolution: explicit attribute >
+    ``class=``/childclass defaults > anonymous main defaults > fallback."""
+    v = elem.get(key)
+    if v is not None:
+        return v
+    for c in (elem.get("class") or cls, "main"):
+        if c:
+            v = defaults.get(c, {}).get(tag, {}).get(key)
+            if v is not None:
+                return v
+    return fallback
+
+
 def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
     """Parse a MuJoCo MJCF document into a kinematic tree
     (``pytorch_kinematics.build_chain_from_mjcf`` equivalent).  Supports
     hinge/slide joints (free/ball are unsupported and treated as fixed with a
-    warning), nested bodies, and mesh/box/sphere/cylinder/capsule geoms."""
+    warning), nested bodies, mesh/box/sphere/cylinder/capsule geoms, and
+    ``<default>`` class resolution for joint/geom attributes (``class=`` on
+    the element, ``childclass=`` inherited down the body tree)."""
     root_elem = ET.fromstring(data)
     compiler = root_elem.find("compiler")
     degrees = (compiler is None or
                compiler.get("angle", "degree") == "degree")
+    defaults = _collect_mjcf_defaults(root_elem)
     meshes: Dict[str, tuple] = {}
     asset = root_elem.find("asset")
     if asset is not None:
@@ -686,12 +760,13 @@ def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
             n = f"body{counter[0]}"
         return n
 
-    def build(body_elem, parent_name: Optional[str]) -> Frame:
+    def build(body_elem, parent_name: Optional[str], cls: str = "") -> Frame:
         name = (body_name(body_elem) if body_elem.tag == "body"
                 else (body or "world"))
+        cls = body_elem.get("childclass") or cls  # inherited down the tree
         link = Link(name)
         for geom in body_elem.findall("geom"):
-            v = _parse_mjcf_geom(geom, meshes, degrees)
+            v = _parse_mjcf_geom(geom, meshes, degrees, defaults, cls)
             if v is not None:
                 link.visuals.append(v)
         joint = None
@@ -702,16 +777,21 @@ def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
                 logger.warning("body %s has %d joints; only the first is "
                                "actuated", name, len(joint_elems))
             je = joint_elems[0] if joint_elems else None
-            if je is not None and je.get("type", "hinge") in _MJCF_JOINT_TYPES:
-                jtype = _MJCF_JOINT_TYPES[je.get("type", "hinge")]
-                axis = (np.fromstring(je.get("axis"), sep=" ")
-                        if je.get("axis") else np.array([0.0, 0, 1]))
+
+            def jattr(key, fallback=None):
+                return _mjcf_attr(je, key, defaults, cls, "joint", fallback)
+
+            if je is not None and jattr("type", "hinge") in _MJCF_JOINT_TYPES:
+                jtype = _MJCF_JOINT_TYPES[jattr("type", "hinge")]
+                axis_attr = jattr("axis")
+                axis = (np.fromstring(axis_attr, sep=" ") if axis_attr
+                        else np.array([0.0, 0, 1]))
                 joint_offset = np.eye(4)
-                if je.get("pos"):
-                    joint_offset[:3, 3] = np.fromstring(je.get("pos"), sep=" ")
+                if jattr("pos"):
+                    joint_offset[:3, 3] = np.fromstring(jattr("pos"), sep=" ")
                 limits = (-np.inf, np.inf)
-                if je.get("range"):
-                    r = np.fromstring(je.get("range"), sep=" ")
+                if jattr("range"):
+                    r = np.fromstring(jattr("range"), sep=" ")
                     if degrees and jtype == "revolute":
                         r = np.deg2rad(r)
                     limits = (float(r[0]), float(r[1]))
@@ -722,13 +802,13 @@ def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
             else:
                 if je is not None:
                     logger.warning("Unsupported MJCF joint type %r on body %s; "
-                                   "treating as fixed", je.get("type"), name)
+                                   "treating as fixed", jattr("type"), name)
                 joint = Joint(name=f"{name}_fixed", joint_type="fixed",
                               origin=origin, axis=np.array([0.0, 0, 1]),
                               parent_link=parent_name, child_link=name)
         f = Frame(name, link, joint, [])
         for child in body_elem.findall("body"):
-            f.children.append(build(child, name))
+            f.children.append(build(child, name, cls))
         return f
 
     return Chain(build(start, None))
@@ -736,11 +816,4 @@ def build_chain_from_mjcf(data: str, body: Optional[str] = None) -> Chain:
 
 def build_serial_chain_from_mjcf(data: str, end_link_name: str,
                                  root_link_name: Optional[str] = None) -> SerialChain:
-    chain = build_chain_from_mjcf(data)
-    root = chain.root
-    if root_link_name is not None:
-        f = chain.find_frame(root_link_name)
-        if f is None:
-            raise ValueError(f"root link {root_link_name!r} not found")
-        root = f
-    return SerialChain(root, end_link_name)
+    return _serial(build_chain_from_mjcf(data), end_link_name, root_link_name)

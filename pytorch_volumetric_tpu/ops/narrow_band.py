@@ -47,9 +47,39 @@ class NarrowBandTables(NamedTuple):
     dims: jnp.ndarray     # [3] int32 cell counts
     strides: jnp.ndarray  # [3] int32
     meta: jnp.ndarray     # [C, 5]: signed val, grad xyz, slot (-1 = far)
-    cand: jnp.ndarray     # [S, K, 10]: corners 9 | face id (as f32)
+    cand: jnp.ndarray     # [S, K, 10]: corners 9 | face id (int32 bitcast f32)
     pseudo: jnp.ndarray   # [F, 21]: n_face 3 | n_vert 9 | n_edge 9
     bb: jnp.ndarray       # [3, 2] surface AABB (out-of-grid fallback)
+
+    @property
+    def smalls(self) -> "NarrowBandSmalls":
+        return NarrowBandSmalls(self.lo, self.res, self.dims, self.strides,
+                                self.bb)
+
+    @property
+    def big(self) -> "NarrowBandBig":
+        return NarrowBandBig(self.meta, self.cand, self.pseudo)
+
+
+class NarrowBandSmalls(NamedTuple):
+    """The tiny grid fields.  These MUST stay trace-time CONSTANTS (see
+    CLAUDE.md): as traced values XLA emits a true division for
+    ``(p - lo) / res`` where a constant folds to a reciprocal multiply, and
+    the 1-ulp quotient difference can flip a borderline ``floor()`` into the
+    neighboring cell between two compilations of the same query."""
+    lo: jnp.ndarray
+    res: jnp.ndarray
+    dims: jnp.ndarray
+    strides: jnp.ndarray
+    bb: jnp.ndarray
+
+
+class NarrowBandBig(NamedTuple):
+    """The large tables, threaded through jits as ARGUMENTS (multi-GB
+    captured constants cost minutes of compile per retrace)."""
+    meta: jnp.ndarray
+    cand: jnp.ndarray
+    pseudo: jnp.ndarray
 
 
 def _mesh_fingerprint(m: TriangleMesh) -> str:
@@ -76,7 +106,8 @@ def build_narrow_band_tables(m: TriangleMesh, cell_res: float, band: float,
 
     key = None
     if cache_path is not None:
-        key = (f"nb {_mesh_fingerprint(m)} {cell_res} {band} {padding} "
+        # "nb2": table-format version (fid packing changed to int32 bitcast)
+        key = (f"nb2 {_mesh_fingerprint(m)} {cell_res} {band} {padding} "
                f"{max_k}")
         hit = get_store(cache_path).get(key)
         if hit is not None and len(hit) == 8:
@@ -136,10 +167,12 @@ def build_narrow_band_tables(m: TriangleMesh, cell_res: float, band: float,
     safe = np.maximum(flat, 0)
     packed = np.empty((len(flat), 10), dtype=np.float32)
     packed[:, :9] = tris.reshape(-1, 9)[safe]
-    packed[:, 9] = safe.astype(np.float32)
+    # face id rides in the float row as a BITCAST int32 (exact for every id;
+    # a value-cast float32 silently rounds ids above 2^24)
+    packed[:, 9] = safe.astype(np.int32).view(np.float32)
     invalid = flat < 0
     packed[invalid, :9] = PAD_COORD
-    packed[invalid, 9] = 0.0
+    packed[invalid, 9] = np.int32(0).view(np.float32)
     cand = packed.reshape(S, K, 10)
 
     n_vert, n_edge, n_face = m.pseudonormals()
@@ -190,7 +223,12 @@ def _candidate_query(p: jnp.ndarray, rows: jnp.ndarray, pseudo: jnp.ndarray,
     oh = (jnp.arange(rows.shape[1]) == kbest[:, None]).astype(p.dtype)
     d = jnp.sqrt(jnp.sum(oh * dist2, axis=-1))
     qw = jnp.sum(oh[..., None] * q, axis=1)        # winning closest point
-    fid = jnp.sum(oh * rows[..., 9], axis=-1).astype(jnp.int32)
+    # face ids are int32 BITCAST into the float row; extract with an integer
+    # one-hot sum (a float multiply would flush denormal bit patterns to
+    # zero on TPU and round ids above 2^24)
+    fid_bits = jax.lax.bitcast_convert_type(rows[..., 9], jnp.int32)
+    oh_i = (jnp.arange(rows.shape[1]) == kbest[:, None]).astype(jnp.int32)
+    fid = jnp.sum(oh_i * fid_bits, axis=-1)
     featw = jnp.sum(oh * feat.astype(p.dtype), axis=-1).astype(jnp.int32)
 
     # winner pseudonormal: one row gather + 7-way feature select
@@ -213,30 +251,29 @@ def _candidate_query(p: jnp.ndarray, rows: jnp.ndarray, pseudo: jnp.ndarray,
     return val, grad
 
 
-def narrow_band_query(tables: NarrowBandTables, points: jnp.ndarray,
-                      surface_normal_eps: float = 1e-3
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pure traceable query: ``points [P, 3] -> (val [P], grad [P, 3])``."""
+def _query_impl(smalls: NarrowBandSmalls, big: NarrowBandBig,
+                points: jnp.ndarray, surface_normal_eps
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     p = points
-    f = (p - tables.lo) / tables.res
+    f = (p - smalls.lo) / smalls.res
     k = jnp.floor(f).astype(jnp.int32)
-    in_grid = jnp.all((k >= 0) & (k < tables.dims), axis=-1)
-    kc = jnp.clip(k, 0, tables.dims - 1)
-    cidx = jnp.sum(kc * tables.strides, axis=-1)
-    meta = tables.meta[cidx]                       # [P, 5]
-    center = tables.lo + (kc.astype(p.dtype) + 0.5) * tables.res
+    in_grid = jnp.all((k >= 0) & (k < smalls.dims), axis=-1)
+    kc = jnp.clip(k, 0, smalls.dims - 1)
+    cidx = jnp.sum(kc * smalls.strides, axis=-1)
+    meta = big.meta[cidx]                          # [P, 5]
+    center = smalls.lo + (kc.astype(p.dtype) + 0.5) * smalls.res
     far_grad = meta[:, 1:4]
     far_val = meta[:, 0] + jnp.sum(far_grad * (p - center), axis=-1)
     slot = meta[:, 4].astype(jnp.int32)
     in_band = slot >= 0
-    rows = tables.cand[jnp.clip(slot, 0)]          # [P, K, 10]
-    exact_val, exact_grad = _candidate_query(p, rows, tables.pseudo,
+    rows = big.cand[jnp.clip(slot, 0)]             # [P, K, 10]
+    exact_val, exact_grad = _candidate_query(p, rows, big.pseudo,
                                              surface_normal_eps)
     val = jnp.where(in_band, exact_val, far_val)
     grad = jnp.where(in_band[..., None], exact_grad, far_grad)
     # outside the padded grid: AABB under-approximation (CachedSDF semantics)
-    dmin = jnp.maximum(tables.bb[:, 0] - p, 0.0)
-    dmax = jnp.maximum(p - tables.bb[:, 1], 0.0)
+    dmin = jnp.maximum(smalls.bb[:, 0] - p, 0.0)
+    dmax = jnp.maximum(p - smalls.bb[:, 1], 0.0)
     dtotal = dmax - dmin
     oob_val = jnp.linalg.norm(dtotal, axis=-1)
     oob_grad = dtotal / jnp.maximum(oob_val, 1e-12)[..., None]
@@ -245,26 +282,40 @@ def narrow_band_query(tables: NarrowBandTables, points: jnp.ndarray,
     return val, grad
 
 
-@jax.custom_vjp
-def straight_through_query(tables: NarrowBandTables, points: jnp.ndarray,
-                           surface_normal_eps: jnp.ndarray):
-    """``narrow_band_query`` with the straight-through VJP (d val / d points
-    = the analytic gradient).  Tables are an explicit argument so jitting
-    this does NOT capture gigabytes of candidate data as compile-time
-    constants; their cotangent is symbolic zeros (DCE'd by XLA)."""
-    return narrow_band_query(tables, points, surface_normal_eps)
+def narrow_band_query(tables: NarrowBandTables, points: jnp.ndarray,
+                      surface_normal_eps: float = 1e-3
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure traceable query: ``points [P, 3] -> (val [P], grad [P, 3])``.
+    Callers jitting this must keep ``tables``' tiny grid fields concrete
+    (see :class:`NarrowBandSmalls`); :class:`sdf.NarrowBandMeshSDF` uses
+    :func:`make_straight_through_query` which enforces that split."""
+    return _query_impl(tables.smalls, tables.big, points, surface_normal_eps)
 
 
-def _st_fwd(tables, points, surface_normal_eps):
-    val, grad = narrow_band_query(tables, points, surface_normal_eps)
-    return (val, grad), (grad, tables)
+def make_straight_through_query(smalls: NarrowBandSmalls):
+    """Build a custom-VJP query ``st(big, points, eps) -> (val, grad)``
+    with the tiny grid fields closed over as trace-time CONSTANTS and the
+    big tables as explicit arguments (zero cotangents, threadable through
+    jits).  The straight-through VJP returns the analytic gradient as
+    ``d val / d points``."""
+    with jax.ensure_compile_time_eval():
+        smalls = NarrowBandSmalls(*(jnp.asarray(np.asarray(a))
+                                    for a in smalls))
 
+    @jax.custom_vjp
+    def st(big: NarrowBandBig, points: jnp.ndarray, surface_normal_eps):
+        return _query_impl(smalls, big, points, surface_normal_eps)
 
-def _st_bwd(res, cotangents):
-    grad, tables = res
-    ct_val = cotangents[0]
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, tables)
-    return (zeros, ct_val[..., None] * grad, jnp.zeros((), dtype=jnp.float32))
+    def fwd(big, points, surface_normal_eps):
+        val, grad = _query_impl(smalls, big, points, surface_normal_eps)
+        return (val, grad), (grad, big)
 
+    def bwd(res, cotangents):
+        grad, big = res
+        ct_val = cotangents[0]
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, big)
+        return (zeros, ct_val[..., None] * grad,
+                jnp.zeros((), dtype=jnp.float32))
 
-straight_through_query.defvjp(_st_fwd, _st_bwd)
+    st.defvjp(fwd, bwd)
+    return st

@@ -552,32 +552,29 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
                                                padding=padding, max_k=max_k,
                                                cache_path=cache_path)
         self._eps = jnp.float32(obj_factory.surface_normal_eps)
+        # the query closes over the TINY grid fields as trace-time constants
+        # (exactness: see ops.narrow_band.NarrowBandSmalls) and takes the big
+        # tables as explicit arguments — threadable through jits with zero
+        # cotangents, never captured as multi-GB program constants
+        from pytorch_volumetric_tpu.ops.narrow_band import (
+            make_straight_through_query)
+        self._st_query = make_straight_through_query(self.tables.smalls)
 
     def raw_query(self, points):
-        # NOTE: when traced inside an EXTERNAL user jit, the tables become
-        # captured constants of that program; ComposedSDF.__call__ and this
-        # class's own __call__ avoid that by threading the tables as
-        # arguments (raw_query_aux / raw_query_with)
-        from pytorch_volumetric_tpu.ops.narrow_band import (
-            straight_through_query)
-        return straight_through_query(self.tables, points, self._eps)
+        return self._st_query(self.tables.big, points, self._eps)
 
     def raw_query_aux(self):
-        return self.tables
+        return self.tables.big
 
     def raw_query_with(self, aux, points):
-        from pytorch_volumetric_tpu.ops.narrow_band import (
-            straight_through_query)
-        return straight_through_query(aux, points, self._eps)
+        return self._st_query(aux, points, self._eps)
 
     def _jitted(self):
         # jit with the (potentially multi-GB) tables as arguments, not as
         # captured compile-time constants
-        from pytorch_volumetric_tpu.ops.narrow_band import (
-            straight_through_query)
         if self._jit_cache is None:
-            self._jit_cache = jax.jit(straight_through_query)
-        return lambda pts: self._jit_cache(self.tables, pts, self._eps)
+            self._jit_cache = jax.jit(self._st_query)
+        return lambda pts: self._jit_cache(self.tables.big, pts, self._eps)
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
         return jnp.asarray(self.obj_factory.bounding_box(padding, padding_ratio))

@@ -139,3 +139,112 @@ def test_mimic_unknown_master_raises():
     bad = MIMIC_URDF.replace('joint="j1" multiplier', 'joint="nope" multiplier')
     with pytest.raises(ValueError, match="unknown"):
         pv.build_chain_from_urdf(bad)
+
+
+def test_prismatic_axis_normalized():
+    """A non-unit prismatic axis translates by q along the UNIT axis
+    (pytorch_kinematics normalizes every joint axis at construction)."""
+    urdf = """
+    <robot name="r"><link name="base"/><link name="slider"/>
+      <joint name="s" type="prismatic">
+        <origin xyz="0 0 0"/><parent link="base"/><child link="slider"/>
+        <axis xyz="0 0 2"/>
+        <limit lower="-1" upper="1" effort="1" velocity="1"/>
+      </joint></robot>"""
+    chain = pv.build_chain_from_urdf(urdf)
+    fk = chain.fk_matrices(jnp.array([0.5]))
+    assert np.allclose(np.asarray(fk["slider"])[:3, 3], [0, 0, 0.5], atol=1e-6)
+
+
+def test_limit_parsing_variants():
+    """<limit> with only one bound defaults the other to 0 (URDF spec);
+    effort/velocity-only limits stay unbounded (common on continuous)."""
+    urdf = """
+    <robot name="r"><link name="a"/><link name="b"/><link name="c"/>
+      <joint name="j1" type="revolute">
+        <parent link="a"/><child link="b"/><axis xyz="0 0 1"/>
+        <limit effort="10" velocity="1" lower="-1"/>
+      </joint>
+      <joint name="j2" type="continuous">
+        <parent link="b"/><child link="c"/><axis xyz="0 0 1"/>
+        <limit effort="10" velocity="1"/>
+      </joint></robot>"""
+    chain = pv.build_chain_from_urdf(urdf)
+    lims = chain.get_joint_limits(fallback=9.0)
+    assert np.allclose(lims[0], [-1.0, 0.0])
+    assert np.allclose(lims[1], [-9.0, 9.0])  # unbounded -> fallback
+
+
+def test_serial_chain_prunes_mimic_master(caplog):
+    """A kept mimic joint whose master lives on a pruned branch becomes an
+    independent DOF instead of failing Chain construction."""
+    urdf = """
+    <robot name="g"><link name="palm"/><link name="fa"/><link name="fb"/>
+      <joint name="ja" type="revolute">
+        <parent link="palm"/><child link="fa"/><axis xyz="0 0 1"/>
+        <limit lower="-1" upper="1" effort="1" velocity="1"/>
+      </joint>
+      <joint name="jb" type="revolute">
+        <parent link="palm"/><child link="fb"/><axis xyz="0 0 1"/>
+        <limit lower="-1" upper="1" effort="1" velocity="1"/>
+        <mimic joint="ja" multiplier="-1"/>
+      </joint></robot>"""
+    full = pv.build_chain_from_urdf(urdf)
+    assert full.get_joint_parameter_names() == ["ja"]  # jb driven by ja
+    serial = pv.build_serial_chain_from_urdf(urdf, "fb")
+    assert serial.get_joint_parameter_names() == ["jb"]  # promoted
+    fk = serial.fk_matrices(jnp.array([0.3]))
+    assert "fb" in fk
+
+
+def test_sdf_world_anchored_model():
+    """SDF joints whose parent is the implicit 'world' link synthesize an
+    empty root instead of raising 'must have exactly one root link'."""
+    sdf_xml = """
+    <sdf version="1.6"><model name="m">
+      <link name="base"><pose>1 0 0 0 0 0</pose></link>
+      <link name="arm"><pose>1 0 0.5 0 0 0</pose></link>
+      <joint name="anchor" type="fixed">
+        <parent>world</parent><child>base</child>
+      </joint>
+      <joint name="j" type="revolute">
+        <parent>base</parent><child>arm</child>
+        <axis><xyz>0 0 1</xyz></axis>
+      </joint>
+    </model></sdf>"""
+    chain = pv.build_chain_from_sdf(sdf_xml)
+    fk = chain.fk_matrices(jnp.zeros(1))
+    # base keeps its model-frame pose through the synthesized world root
+    assert np.allclose(np.asarray(fk["base"])[:3, 3], [1, 0, 0], atol=1e-6)
+    assert np.allclose(np.asarray(fk["arm"])[:3, 3], [1, 0, 0.5], atol=1e-6)
+
+
+def test_mjcf_default_class_resolution():
+    """Joints whose type/axis/range come from a <default> class parse with
+    the class attributes, not the builtin hinge/z fallbacks."""
+    mjcf = """
+    <mujoco><compiler angle="radian"/>
+      <default>
+        <joint type="hinge" axis="0 1 0"/>
+        <default class="slider">
+          <joint type="slide" axis="1 0 0" range="-2 2"/>
+        </default>
+      </default>
+      <worldbody>
+        <body name="a" pos="0 0 0">
+          <joint name="ja" class="slider"/>
+          <geom type="sphere" size="0.1"/>
+          <body name="b" pos="0 0 1" childclass="slider">
+            <joint name="jb"/>
+            <geom type="sphere" size="0.1"/>
+          </body>
+        </body>
+      </worldbody></mujoco>"""
+    chain = pv.build_chain_from_mjcf(mjcf)
+    assert chain.get_joint_parameter_names() == ["ja", "jb"]
+    lims = chain.get_joint_limits()
+    assert np.allclose(lims, [[-2, 2], [-2, 2]])
+    # ja slides along x (class attr), not the builtin z hinge
+    fk = chain.fk_matrices(jnp.array([0.5, 0.25]))
+    assert np.allclose(np.asarray(fk["a"])[:3, 3], [0.5, 0, 0], atol=1e-6)
+    assert np.allclose(np.asarray(fk["b"])[:3, 3], [0.75, 0, 1], atol=1e-6)
