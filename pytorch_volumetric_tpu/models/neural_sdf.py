@@ -297,12 +297,27 @@ class NeuralSDF(ObjectFrameSDF):
         grad, = vjp(jnp.ones_like(val))
         return val, grad
 
+    def _jitted(self):
+        # weights as ARGUMENTS: a jit of raw_query would bake self.params in
+        # as constants, silently serving stale weights after a fine-tune
+        # reassigns model.params
+        if self._jit_cache is None:
+            def rq(params, pts):
+                def v(p):
+                    return mlp_forward(params, self._features(p), w0=self.w0,
+                                       compute_dtype=self.compute_dtype,
+                                       activation=self.activation)
+
+                val, vjp = jax.vjp(v, pts)
+                grad, = vjp(jnp.ones_like(val))
+                return val, grad
+
+            self._jit_cache = jax.jit(rq)
+        return lambda pts: self._jit_cache(self.params, pts)
+
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
-        bb = self.bounds.copy()
-        extents = bb[:, 1] - bb[:, 0]
-        bb[:, 0] -= padding + padding_ratio * extents
-        bb[:, 1] += padding + padding_ratio * extents
-        return jnp.asarray(bb)
+        from pytorch_volumetric_tpu.sdf import pad_aabb
+        return jnp.asarray(pad_aabb(self.bounds, padding, padding_ratio))
 
     def save(self, path: str) -> None:
         """Persist weights + metadata to ``.npz`` (fits are minutes of TPU
@@ -392,8 +407,11 @@ class ConfigSpaceNeuralSDF:
 
     # -- core field ---------------------------------------------------------
     def _features(self, q, pts):
-        # normalize joints to [-1, 1]; Fourier-lift the point
-        qn = 2.0 * (q - self.q_lo) / (self.q_hi - self.q_lo) - 1.0
+        # normalize joints to [-1, 1]; Fourier-lift the point.  A locked
+        # joint (lower == upper) would divide by zero and NaN every feature,
+        # so clamp the span (the joint contributes a constant feature)
+        span = jnp.maximum(self.q_hi - self.q_lo, 1e-6)
+        qn = 2.0 * (q - self.q_lo) / span - 1.0
         ff = fourier_features(pts, self.fourier_B)
         qb = jnp.broadcast_to(qn, pts.shape[:-1] + qn.shape[-1:])
         return jnp.concatenate([qb, ff], axis=-1)
@@ -404,16 +422,27 @@ class ConfigSpaceNeuralSDF:
                            compute_dtype=self.compute_dtype,
                            activation=self.activation)
 
-    def query(self, q: jnp.ndarray, pts: jnp.ndarray):
-        """``(q [A, M], pts [N, 3]) -> (val [A, N], grad [A, N, 3])`` with
-        the spatial autodiff gradient."""
+    def _query_with(self, params, q: jnp.ndarray, pts: jnp.ndarray):
+        """Like :meth:`query` but with the weights as an explicit argument
+        (jit-cache-safe: reassigning ``model.params`` after a fine-tune must
+        not keep serving stale baked-in weights)."""
 
         def one(qi):
-            val, vjp = jax.vjp(lambda p: self.value(qi, p), pts)
+            def v(p):
+                return mlp_forward(params, self._features(qi, p), w0=self.w0,
+                                   compute_dtype=self.compute_dtype,
+                                   activation=self.activation)
+
+            val, vjp = jax.vjp(v, pts)
             grad, = vjp(jnp.ones_like(val))
             return val, grad
 
         return jax.vmap(one)(q)
+
+    def query(self, q: jnp.ndarray, pts: jnp.ndarray):
+        """``(q [A, M], pts [N, 3]) -> (val [A, N], grad [A, N, 3])`` with
+        the spatial autodiff gradient."""
+        return self._query_with(self.params, q, pts)
 
     # -- RobotSDF-compatible surface ---------------------------------------
     def set_joint_configuration(self, joint_config):
@@ -434,17 +463,14 @@ class ConfigSpaceNeuralSDF:
         A = self._q.shape[:-1]  # () for a single 1-D configuration
         q2 = self._q.reshape(-1, self._q.shape[-1])
         if self._query_jit is None:
-            self._query_jit = jax.jit(self.query)
-        val, grad = self._query_jit(q2, flat)
+            self._query_jit = jax.jit(self._query_with)
+        val, grad = self._query_jit(self.params, q2, flat)
         return (val.reshape(A + pts_batch),
                 grad.reshape(A + pts_batch + (3,)))
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
-        bb = self.bounds.copy()
-        extents = bb[:, 1] - bb[:, 0]
-        bb[:, 0] -= padding + padding_ratio * extents
-        bb[:, 1] += padding + padding_ratio * extents
-        return jnp.asarray(bb)
+        from pytorch_volumetric_tpu.sdf import pad_aabb
+        return jnp.asarray(pad_aabb(self.bounds, padding, padding_ratio))
 
     def at_config(self, joint_config) -> "_ConfigBoundSDF":
         """The field at one fixed configuration, as a first-class
@@ -502,13 +528,19 @@ class _ConfigBoundSDF(ObjectFrameSDF):
         # (a planner calls at_config per candidate q)
         model = self.model
         if getattr(model, "_bound_jit", None) is None:
-            def qp(q, pts):
-                val, vjp = jax.vjp(lambda p: model.value(q, p), pts)
+            def qp(params, q, pts):
+                def v(p):
+                    return mlp_forward(params, model._features(q, p),
+                                       w0=model.w0,
+                                       compute_dtype=model.compute_dtype,
+                                       activation=model.activation)
+
+                val, vjp = jax.vjp(v, pts)
                 grad, = vjp(jnp.ones_like(val))
                 return val, grad
 
             model._bound_jit = jax.jit(qp)
-        return lambda pts: model._bound_jit(self.q, pts)
+        return lambda pts: model._bound_jit(model.params, self.q, pts)
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):
         return self.model.surface_bounding_box(padding=padding,
@@ -547,32 +579,38 @@ def fit_config_space_sdf(robot_sdf, key, joint_limits=None,
     # configuration afterwards so distillation is side-effect free
     q_prev = getattr(robot_sdf, "q", None)
     robot_sdf.set_joint_configuration(qs)
-    if workspace_bounds is None:
-        bb = np.asarray(robot_sdf.surface_bounding_box())  # [A, 3, 2]
-        workspace_bounds = np.stack([bb[..., 0].min(axis=0) - padding,
-                                     bb[..., 1].max(axis=0) + padding], -1)
-    workspace_bounds = np.asarray(workspace_bounds, dtype=np.float32)
-    lo = jnp.asarray(workspace_bounds[:, 0])
-    hi = jnp.asarray(workspace_bounds[:, 1])
+    try:
+        if workspace_bounds is None:
+            bb = np.asarray(robot_sdf.surface_bounding_box())  # [A, 3, 2]
+            workspace_bounds = np.stack([bb[..., 0].min(axis=0) - padding,
+                                         bb[..., 1].max(axis=0) + padding], -1)
+        workspace_bounds = np.asarray(workspace_bounds, dtype=np.float32)
+        lo = jnp.asarray(workspace_bounds[:, 0])
+        hi = jnp.asarray(workspace_bounds[:, 1])
 
-    # one batched oracle sweep: uniform points (shared across configs), then
-    # per-config near-surface refinement via the exact gradient projection
-    # (dedicated seed points, so near_fraction may take any value in [0, 1))
-    n_near = int(pts_per_config * near_fraction)
-    n_uni = pts_per_config - n_near
-    k_x2 = jax.random.fold_in(k_x, 1)
-    xu = jax.random.uniform(k_x, (n_uni, 3), minval=lo, maxval=hi,
-                            dtype=jnp.float32)
-    vu, gu = robot_sdf(xu)                     # [A, n_uni], [A, n_uni, 3]
-    seeds = jax.random.uniform(k_x2, (n_near, 3), minval=lo, maxval=hi,
-                               dtype=jnp.float32)
-    vs, gs = robot_sdf(seeds)                  # [A, n_near], [A, n_near, 3]
-    surf = seeds[None] - vs[..., None] * gs
-    eps = near_sigma * jax.random.normal(k_p, (n_configs, n_near, 1),
-                                         dtype=jnp.float32)
-    xn = jnp.clip(surf + eps * gs, lo, hi)     # [A, n_near, 3]
-    vn, gn = _per_config_query(robot_sdf, qs, xn)
-    robot_sdf.set_joint_configuration(q_prev)
+        # one batched oracle sweep: uniform points (shared across configs),
+        # then per-config near-surface refinement via the exact gradient
+        # projection (dedicated seed points, so near_fraction may take any
+        # value in [0, 1))
+        n_near = int(pts_per_config * near_fraction)
+        n_uni = pts_per_config - n_near
+        k_x2 = jax.random.fold_in(k_x, 1)
+        xu = jax.random.uniform(k_x, (n_uni, 3), minval=lo, maxval=hi,
+                                dtype=jnp.float32)
+        vu, gu = robot_sdf(xu)                 # [A, n_uni], [A, n_uni, 3]
+        seeds = jax.random.uniform(k_x2, (n_near, 3), minval=lo, maxval=hi,
+                                   dtype=jnp.float32)
+        vs, gs = robot_sdf(seeds)              # [A, n_near], [A, n_near, 3]
+        surf = seeds[None] - vs[..., None] * gs
+        eps = near_sigma * jax.random.normal(k_p, (n_configs, n_near, 1),
+                                             dtype=jnp.float32)
+        xn = jnp.clip(surf + eps * gs, lo, hi)  # [A, n_near, 3]
+        vn, gn = _per_config_query(robot_sdf, qs, xn)
+    finally:
+        # distillation must be side-effect free even when the sweep raises
+        # (OOM mid-distillation would otherwise leave the robot re-posed to
+        # the random training batch)
+        robot_sdf.set_joint_configuration(q_prev)
 
     x_all = jnp.concatenate(
         [jnp.broadcast_to(xu, (n_configs, n_uni, 3)), xn], axis=1)

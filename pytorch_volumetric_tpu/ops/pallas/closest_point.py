@@ -244,8 +244,11 @@ def mesh_closest_query_pallas(points: jnp.ndarray, tri: jnp.ndarray,
     winding [P])``."""
     P = points.shape[0]
     Fp = tri.shape[0]
-    # pad triangles to the tile multiple with degenerate far-away triangles
-    tri_tile = min(tri_tile, max(128, Fp))
+    # pad triangles to the tile multiple with degenerate far-away triangles.
+    # The tile itself must stay 128-lane aligned even for raw (unpadded)
+    # triangle arrays — an unaligned lane-dim BlockSpec fails Mosaic lowering
+    # on real TPUs while passing in interpret mode
+    tri_tile = min(tri_tile, max(128, cdiv(Fp, 128) * 128))
     Ft = cdiv(Fp, tri_tile) * tri_tile
     if Ft != Fp:
         tri = jnp.pad(tri, ((0, Ft - Fp), (0, 0), (0, 0)),

@@ -223,8 +223,14 @@ def signed_closest_query(points: jnp.ndarray, tri: jnp.ndarray,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         from pytorch_volumetric_tpu.ops.pallas.closest_point import (
-            mesh_closest_query_pallas)
-        dist, closest, fid, wind = mesh_closest_query_pallas(points, tri)
+            DEFAULT_POINT_TILE, DEFAULT_TRI_TILE, mesh_closest_query_pallas)
+        # honor the caller's memory-control knobs on this backend too (the
+        # kernel tiles are the pallas analog of the XLA sweep's chunks),
+        # clamped to TPU tiling alignment (8 sublanes / 128 lanes)
+        pt = max(8, min(point_chunk, DEFAULT_POINT_TILE) // 8 * 8)
+        tt = max(128, min(tri_chunk, DEFAULT_TRI_TILE) // 128 * 128)
+        dist, closest, fid, wind = mesh_closest_query_pallas(
+            points, tri, point_tile=pt, tri_tile=tt)
     else:
         dist, closest, fid, wind = mesh_closest_query(
             points, tri, point_chunk=point_chunk, tri_chunk=tri_chunk)

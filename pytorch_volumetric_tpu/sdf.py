@@ -154,11 +154,7 @@ class ObjectFactory(abc.ABC):
 
     def bounding_box(self, padding=0.0, padding_ratio=0.0) -> np.ndarray:
         """[3, 2] AABB of the framed mesh with padding (reference sdf.py:80-89)."""
-        ranges = self._mesh.aabb().copy()
-        extents = ranges[:, 1] - ranges[:, 0]
-        ranges[:, 0] -= padding + padding_ratio * extents
-        ranges[:, 1] += padding + padding_ratio * extents
-        return ranges
+        return pad_aabb(self._mesh.aabb(), padding, padding_ratio)
 
     def center(self) -> np.ndarray:
         if self._mesh is None:
@@ -209,6 +205,17 @@ class MeshObjectFactory(ObjectFactory):
         if self.strip_package_prefix:
             mesh_path = mesh_path.replace("package://", "")
         return os.path.join(self.path_prefix, mesh_path)
+
+
+def pad_aabb(aabb, padding=0.0, padding_ratio=0.0) -> np.ndarray:
+    """[3, 2] AABB expanded by ``padding`` (absolute) plus ``padding_ratio``
+    of each extent — the one padding rule shared by every
+    ``surface_bounding_box`` (reference sdf.py:80-89)."""
+    bb = np.array(aabb, dtype=np.float64, copy=True)
+    extents = bb[:, 1] - bb[:, 0]
+    bb[:, 0] -= padding + padding_ratio * extents
+    bb[:, 1] += padding + padding_ratio * extents
+    return bb
 
 
 def aabb_corners(aabb) -> jnp.ndarray:
@@ -1306,11 +1313,7 @@ class CachedSDF(ObjectFrameSDF):
             raise RuntimeError(
                 "CachedSDF has neither a ground-truth SDF nor a persisted "
                 "bounding box (cache written by an older version)")
-        bb = self._stored_bb.copy()
-        extents = bb[:, 1] - bb[:, 0]
-        bb[:, 0] -= padding + padding_ratio * extents
-        bb[:, 1] += padding + padding_ratio * extents
-        return jnp.asarray(bb)
+        return jnp.asarray(pad_aabb(self._stored_bb, padding, padding_ratio))
 
     def _fallback_sdf_value_func(self, *args, **kwargs):
         sdf_val, _ = self.gt_sdf(*args, **kwargs)

@@ -70,11 +70,15 @@ def load_robot_query(path: str) -> Callable:
                        for i in range(int(d["n_leaves"])))
 
     # jitted wrapper: eager exported.call pays ~1 ms of Python dispatch per
-    # request — 5x the jitted steady state on the serving hot path
-    call = jax.jit(lambda q, pts: exported.call(q, pts, *leaves))
+    # request — 5x the jitted steady state on the serving hot path.  The
+    # tables ride in as ARGUMENTS: capturing them in the closure would bake
+    # the sidecar (hundreds of MB for a real robot) into the wrapper as
+    # compile-time constants — exactly the producer-side blowup the sidecar
+    # design avoids (measured: ~60 s vs ~10 s compile, see CLAUDE.md)
+    call = jax.jit(exported.call)
 
     def query(q, pts):
         return call(jnp.asarray(q, dtype=jnp.float32),
-                    jnp.asarray(pts, dtype=jnp.float32))
+                    jnp.asarray(pts, dtype=jnp.float32), *leaves)
 
     return query
