@@ -90,9 +90,14 @@ class NativeScene:
         self._lib = lib
         tris = np.ascontiguousarray(triangles, dtype=np.float32)
         self.num_faces = len(tris)
+        if self.num_faces == 0:
+            raise ValueError("cannot build a scene from an empty mesh "
+                             "(no faces)")
         self._handle = lib.pvt_scene_create(
             tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self.num_faces)
+        if not self._handle:
+            raise RuntimeError("native scene construction failed")
 
     def __del__(self):
         try:

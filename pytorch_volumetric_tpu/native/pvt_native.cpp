@@ -266,6 +266,9 @@ extern "C" {
 // Build a scene: triangles [F, 3, 3] float32 (corner-major).
 // Returns an opaque handle.
 void* pvt_scene_create(const float* tris, int64_t num_faces) {
+  // an empty scene would build a count==0 root that every consumer
+  // misreads as an internal node (nodes[-1] out-of-bounds); refuse it
+  if (num_faces <= 0) return nullptr;
   Scene* s = new Scene();
   std::vector<Vec3> a(num_faces), b(num_faces), c(num_faces), cent(num_faces);
   for (int64_t i = 0; i < num_faces; ++i) {
@@ -386,22 +389,23 @@ int pvt_parse_obj(const char* path, float* vertices, int64_t* num_vertices,
   while (fgets(line, sizeof(line), f)) {
     if (line[0] == 'v' && line[1] == ' ') {
       if (!counting) {
-        float x, y, z;
-        if (sscanf(line + 2, "%f %f %f", &x, &y, &z) == 3) {
-          vertices[nv * 3] = x; vertices[nv * 3 + 1] = y; vertices[nv * 3 + 2] = z;
-        }
+        float x = 0, y = 0, z = 0;
+        // underparsed lines still fill their slot (the caller's buffer is
+        // uninitialized np.empty; leaving it would poison the mesh)
+        sscanf(line + 2, "%f %f %f", &x, &y, &z);
+        vertices[nv * 3] = x; vertices[nv * 3 + 1] = y; vertices[nv * 3 + 2] = z;
       }
       nv++;
     } else if (line[0] == 'f' && line[1] == ' ') {
-      // parse up to 8 indices, fan-triangulate
-      int64_t idx[8];
-      int cnt = 0;
+      // fan-triangulate arbitrary polygons (CAD caps can exceed 8 corners)
+      std::vector<int64_t> idx;
       char* tok = strtok(line + 2, " \t\r\n");
-      while (tok && cnt < 8) {
+      while (tok) {
         long v = strtol(tok, nullptr, 10);
-        idx[cnt++] = v > 0 ? v - 1 : nv + v;
+        idx.push_back(v > 0 ? v - 1 : nv + v);
         tok = strtok(nullptr, " \t\r\n");
       }
+      int cnt = (int)idx.size();
       for (int k = 1; k + 1 < cnt; ++k) {
         if (!counting) {
           faces[nf * 3] = (int32_t)idx[0];

@@ -1,5 +1,5 @@
 from pytorch_volumetric_tpu.parallel.sharding import (
-    CONFIG_AXIS, POINT_AXIS, init_distributed, make_device_mesh,
+    CONFIG_AXIS, POINT_AXIS, init_distributed, make_device_mesh, pad_for_mesh,
     sharded_robot_query, sharded_robot_query_coherent, sharded_sdf_query,
     sharded_neural_robot_query, make_collision_step,
 )

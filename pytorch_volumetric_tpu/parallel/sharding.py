@@ -110,6 +110,13 @@ def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int):
     return jnp.pad(x, pad), size
 
 
+def pad_for_mesh(x: jnp.ndarray, mesh: Mesh, axis_name: str, axis: int = 0):
+    """Pad ``x`` along ``axis`` (zeros) so its size divides the mesh axis
+    ``axis_name``.  Returns ``(padded, original_size)`` — slice the outputs
+    back with ``out[..:original_size]``."""
+    return _pad_to_multiple(x, mesh.shape[axis_name], axis)
+
+
 def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
     """Jit the fused FK→transform→SDF→min-union query with configs sharded
     over ``config`` and points over ``point``; everything else replicated.
@@ -179,17 +186,28 @@ def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:
 
 def sharded_sdf_query(sdf, mesh: Mesh) -> Callable:
     """Shard a plain ``ObjectFrameSDF`` query's flat point batch across every
-    device of the mesh (both axes)."""
-    raw = sdf.raw_query
-
-    def fn(pts):
-        return raw(pts)
-
+    device of the mesh (both axes).  Big per-instance tables ride in as
+    replicated ARGUMENTS via the raw_query_aux/raw_query_with protocol
+    (capturing them would bake multi-hundred-MB constants into the program;
+    see CLAUDE.md)."""
+    aux = sdf.raw_query_aux()
     spec = P((CONFIG_AXIS, POINT_AXIS))
-    return jax.jit(fn,
-                   in_shardings=NamedSharding(mesh, P((CONFIG_AXIS, POINT_AXIS), None)),
-                   out_shardings=(NamedSharding(mesh, spec),
-                                  NamedSharding(mesh, P((CONFIG_AXIS, POINT_AXIS), None))))
+    pts_sh = NamedSharding(mesh, P((CONFIG_AXIS, POINT_AXIS), None))
+    out_sh = (NamedSharding(mesh, spec), pts_sh)
+    if aux is None:
+        return jax.jit(lambda pts: sdf.raw_query(pts),
+                       in_shardings=pts_sh, out_shardings=out_sh)
+    leaves, treedef = jax.tree_util.tree_flatten(aux)
+
+    def fn(pts, *aux_leaves):
+        return sdf.raw_query_with(
+            jax.tree_util.tree_unflatten(treedef, aux_leaves), pts)
+
+    jitted = jax.jit(
+        fn,
+        in_shardings=(pts_sh, *(NamedSharding(mesh, P()) for _ in leaves)),
+        out_shardings=out_sh)
+    return lambda pts: jitted(pts, *leaves)
 
 
 def make_collision_step(robot_sdf, optimizer, margin: float = 0.1,

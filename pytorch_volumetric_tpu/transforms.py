@@ -276,9 +276,14 @@ def transform_normals(matrix: ArrayLike, normals: ArrayLike) -> Array:
     m = jnp.asarray(matrix)
     n = jnp.asarray(normals, dtype=m.dtype)
     R = m[..., :3, :3]
-    # inverse-transpose; for orthonormal R this is R itself.  Solve instead of
-    # explicit inverse for stability:  n' = (R^-1)^T n  <=>  n'^T = n^T R^-1.
-    Rinv_T = jnp.swapaxes(jnp.linalg.inv(R), -1, -2)
+    # inverse-transpose via the adjugate: columns of (R^-1)^T are the cross
+    # products of R's columns over det.  Elementwise f32 only (no LU, no
+    # matmul passes — the precision policy this module exists for); for
+    # orthonormal R it reproduces R up to roundoff.
+    a, b, c = R[..., :, 0], R[..., :, 1], R[..., :, 2]
+    bc = jnp.cross(b, c)
+    det = jnp.sum(a * bc, axis=-1)[..., None, None]
+    Rinv_T = jnp.stack([bc, jnp.cross(c, a), jnp.cross(a, b)], axis=-1) / det
     return precise_einsum("...ij,...nj->...ni", Rinv_T, n)
 
 

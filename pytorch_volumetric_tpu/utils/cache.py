@@ -38,6 +38,8 @@ class NpzStore:
         self._data: Optional[Dict[str, np.ndarray]] = None
 
     def _load(self) -> Dict[str, np.ndarray]:
+        # callers must hold _LOCK: a racing load could otherwise replace
+        # self._data and discard entries a concurrent put just inserted
         if self._data is None:
             if os.path.exists(self.path):
                 with np.load(self.path, allow_pickle=False) as z:
@@ -47,13 +49,24 @@ class NpzStore:
         return self._data
 
     def get(self, key: str) -> Optional[Tuple[np.ndarray, ...]]:
-        data = self._load()
-        slug = _slug(key)
-        n_key = f"{slug}/n"
-        if n_key not in data:
-            return None
-        n = int(data[n_key])
-        return tuple(data[f"{slug}/{i}"] for i in range(n))
+        with _LOCK:
+            data = self._load()
+            slug = _slug(key)
+            n_key = f"{slug}/n"
+            if n_key not in data:
+                return None
+            n = int(data[n_key])
+            return tuple(data[f"{slug}/{i}"] for i in range(n))
+
+    def _write(self, data: Dict[str, np.ndarray]) -> None:
+        tmp = self.path + ".tmp"
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        # uncompressed: SDF grids are float noise (compress poorly) and
+        # stores are rewritten per put — write bandwidth matters
+        with open(tmp, "wb") as f:
+            np.savez(f, **data)
+        os.replace(tmp, self.path)
 
     def put(self, key: str, arrays: Sequence[np.ndarray]) -> None:
         with _LOCK:
@@ -62,21 +75,17 @@ class NpzStore:
             data[f"{slug}/n"] = np.asarray(len(arrays))
             for i, a in enumerate(arrays):
                 data[f"{slug}/{i}"] = np.asarray(a)
-            tmp = self.path + ".tmp"
-            d = os.path.dirname(os.path.abspath(self.path))
-            os.makedirs(d, exist_ok=True)
-            # uncompressed: SDF grids are float noise (compress poorly) and
-            # stores are rewritten per put — write bandwidth matters
-            with open(tmp, "wb") as f:
-                np.savez(f, **data)
-            os.replace(tmp, self.path)
+            self._write(data)
 
     def delete(self, key: str) -> None:
         with _LOCK:
             data = self._load()
             slug = _slug(key)
-            for k in [k for k in data if k.startswith(slug + "/")]:
+            stale = [k for k in data if k.startswith(slug + "/")]
+            for k in stale:
                 del data[k]
+            if stale:  # persist: a deleted (poisoned) entry must stay gone
+                self._write(data)
 
 
 _STORES: Dict[str, NpzStore] = {}

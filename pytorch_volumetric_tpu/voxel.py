@@ -105,8 +105,12 @@ class GridView:
         self.shape = tuple(self.raw_data.shape)
         d = len(self.shape)
         self.lo = rng[:, 0]
+        # a degenerate dimension (single coordinate, zero span) would give
+        # res 0 and NaN/inf index keys; use 1.0 so only points within half a
+        # unit of the plane snap to its one valid slice
         self.res = np.array([
-            (rng[i, 1] - rng[i, 0]) / max(self.shape[i] - 1, 1) for i in range(d)])
+            ((rng[i, 1] - rng[i, 0]) / max(self.shape[i] - 1, 1))
+            or 1.0 for i in range(d)])
         self.invalid_value = invalid_value
         self._strides = np.array(
             [int(np.prod(self.shape[i + 1:], dtype=np.int64)) for i in range(d)])
@@ -155,8 +159,14 @@ class GridView:
         keys = self.ensure_index_key(pts)
         value = jnp.broadcast_to(jnp.asarray(value, dtype=self.raw_data.dtype),
                                  keys.shape[:-1])
+        # mode="drop" only discards POSITIVE out-of-range indices: JAX
+        # normalizes negative scatter indices with mod first, which would
+        # wrap a below-range write onto the far edge.  Redirect every
+        # invalid key to shape (positive OOB) so the drop actually drops.
+        n = jnp.asarray(self.shape, dtype=keys.dtype)
+        valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
+        keys = jnp.where(valid[..., None], keys, n)
         idx = tuple(keys[..., i] for i in range(keys.shape[-1]))
-        # out-of-range scatters are dropped (mode="drop")
         self.raw_data = self.raw_data.at[idx].set(value, mode="drop")
 
 

@@ -75,3 +75,13 @@ def test_native_large_batch_consistency(capsule, rng):
     np.testing.assert_array_equal(d_all[:7], d_one)
     np.testing.assert_array_equal(cp_all[:7], cp_one)
     np.testing.assert_array_equal(w_all[:7], w_one)
+
+
+def test_empty_mesh_rejected():
+    import pytest
+    from pytorch_volumetric_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    with pytest.raises(ValueError):
+        native.NativeScene(np.zeros((0, 3, 3), dtype=np.float32))

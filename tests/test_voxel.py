@@ -103,3 +103,28 @@ def test_resize_to_fit():
     assert g.range_per_dim[0][0] >= 0.3
     assert g.range_per_dim[0][1] <= 1.0
     assert np.allclose(g[jnp.array([[0.5, 0.5], [0.8, 0.9]])], [1.0, 2.0])
+
+
+def test_setitem_below_range_does_not_wrap():
+    """JAX scatter mod-normalizes negative indices before mode='drop';
+    writes below the grid's lower bound must be dropped, not wrapped onto
+    the far edge."""
+    import jax.numpy as jnp
+    import pytorch_volumetric_tpu as pv
+
+    g = pv.VoxelGrid(0.1, [(0.0, 1.0)] * 3, dtype=jnp.bool_)
+    g[jnp.array([[-0.35, 0.5, 0.5], [2.0, 0.5, 0.5]])] = True
+    pts, _ = g.get_known_pos_and_values()
+    assert pts.shape[0] == 0  # both writes out of range -> nothing stored
+
+
+def test_degenerate_flat_dimension_grid():
+    """A snapped-to-zero span yields one coordinate with a sane (nonzero)
+    index resolution: reads at the plane hit the slice, far reads miss."""
+    import jax.numpy as jnp
+    import pytorch_volumetric_tpu as pv
+
+    g = pv.VoxelGrid(0.1, [(0.0, 1.0), (0.0, 1.0), (0.5, 0.5)])
+    g[jnp.array([[0.5, 0.5, 0.5]])] = 3.0
+    assert float(g[jnp.array([[0.5, 0.5, 0.5]])][0]) == 3.0
+    assert np.isfinite(np.asarray(g[jnp.array([[0.5, 0.5, 7.0]])])).all()
