@@ -70,12 +70,45 @@ def checked_query(sdf, max_grad_norm: float = None,
 
     ``max_grad_norm`` defaults to the SDF's ``max_grad_norm_hint`` attribute
     if present (learned fields set a loose bound), else the unit-direction
-    bound exact fields must satisfy."""
+    bound exact fields must satisfy.
+
+    SDFs with big per-instance tables (``raw_query_aux``) are guarded
+    through ``raw_query_with`` with the tables threaded as ARGUMENTS of an
+    internal jit, so wrapping a large ``CachedSDF``/``NarrowBandMeshSDF``
+    never bakes its tables in as compile-time constants (CLAUDE.md rule;
+    ~60 s vs ~10 s compile per retrace measured at 200 MB)."""
+    import jax
+
     if max_grad_norm is None:
         max_grad_norm = getattr(sdf, "max_grad_norm_hint",
                                 DEFAULT_MAX_GRAD_NORM)
-    raw = sdf.raw_query if hasattr(sdf, "raw_query") else sdf
-    fn = checkify.checkify(guarded_raw_query(raw, max_grad_norm))
+    aux = sdf.raw_query_aux() if hasattr(sdf, "raw_query_aux") else None
+    if aux is not None:
+        leaves, treedef = jax.tree_util.tree_flatten(aux)
+
+        def raw_args(pts, *aux_leaves):
+            return sdf.raw_query_with(
+                jax.tree_util.tree_unflatten(treedef, aux_leaves), pts)
+
+        def guarded(pts, *aux_leaves):
+            checkify.check(jnp.all(jnp.isfinite(pts)),
+                           "non-finite query points")
+            val, grad = raw_args(pts, *aux_leaves)
+            gn = jnp.linalg.norm(grad, axis=-1)
+            checkify.check(jnp.all(jnp.isfinite(val)),
+                           "non-finite SDF values")
+            checkify.check(jnp.all(jnp.isfinite(grad)),
+                           "non-finite SDF gradients")
+            checkify.check(jnp.all(gn <= max_grad_norm),
+                           "SDF gradient norm {m} exceeds the unit-direction "
+                           "bound", m=jnp.max(gn))
+            return val, grad
+
+        inner = jax.jit(checkify.checkify(guarded))
+        fn = lambda pts: inner(pts, *leaves)
+    else:
+        raw = sdf.raw_query if hasattr(sdf, "raw_query") else sdf
+        fn = checkify.checkify(guarded_raw_query(raw, max_grad_norm))
     if not throw:
         return fn
 

@@ -67,6 +67,14 @@ def device_time(fn: Callable, *args, reps: int = 10) -> float:
         leaves = jax.tree_util.tree_leaves(out)
         return sum(jnp.sum(leaf) for leaf in leaves)
 
+    if not any(jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+               for leaf in jax.tree_util.tree_leaves(args)):
+        raise ValueError(
+            "device_time needs at least one floating-point argument to "
+            "perturb per iteration — with data captured in fn's closure the "
+            "scan body is loop-invariant and XLA hoists it, reporting ~0 "
+            "(measured 10,000x under-report).  Pass the data as *args.")
+
     @jax.jit
     def run(*a):
         def body(carry, i):

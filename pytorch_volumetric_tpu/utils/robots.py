@@ -30,10 +30,11 @@ def make_serial_arm(directory: str, num_joints: int = 7,
     os.makedirs(directory, exist_ok=True)
     base = mesh_mod.cylinder_mesh(radius=2.2 * link_radius, height=0.1, segments=20)
     mesh_mod.save_obj(base, os.path.join(directory, "link0.obj"))
+    # all moving links share one capsule mesh file: one parse per robot and
+    # one CachedSDF cache entry (keys include the mesh name) instead of N
     cap = mesh_mod.capsule_mesh(radius=link_radius, height=link_length,
                                 segments=segments, rings=rings)
-    for i in range(1, num_joints + 1):
-        mesh_mod.save_obj(cap, os.path.join(directory, f"link{i}.obj"))
+    mesh_mod.save_obj(cap, os.path.join(directory, "link_cap.obj"))
 
     lines: List[str] = ['<robot name="procedural_arm">']
     lines.append('  <link name="link0">')
@@ -44,7 +45,7 @@ def make_serial_arm(directory: str, num_joints: int = 7,
         lines.append(f'  <link name="link{i}">')
         # visual offset: capsule is centered; shift so it spans the link
         lines.append(f'    <visual><origin xyz="0 0 {link_length / 2:.6g}" rpy="0 0 0"/>'
-                     f'<geometry><mesh filename="link{i}.obj"/></geometry></visual>')
+                     '<geometry><mesh filename="link_cap.obj"/></geometry></visual>')
         lines.append('  </link>')
     z_step = 0.1  # base height
     for i in range(1, num_joints + 1):

@@ -68,6 +68,10 @@ def draw_sdf_slice(s: sdf_mod.ObjectFrameSDF, query_range, resolution=0.01,
     if take_idx is not None:
         v_c, g_c = s.query_coherent(pts_c)
         sdf_val, sdf_grad = v_c[..., take_idx], g_c[..., take_idx, :]
+        # return the points the values were ACTUALLY evaluated at (the
+        # coherent layout drew its own jitter); keeps the reference's
+        # (pts, value) pairing contract on both paths
+        pts = pts_c[take_idx]
     else:
         sdf_val, sdf_grad = s(pts)
     x = np.asarray(coords[shown_dims[0]])
