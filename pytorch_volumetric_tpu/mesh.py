@@ -371,6 +371,12 @@ def read_triangle_mesh(path: str,
     else:
         with open(path, "r", errors="ignore") as f:
             mesh = _parse_obj(f.read())
+    if mesh.vertices.shape[0] == 0 or mesh.faces.shape[0] == 0:
+        # unsupported formats fall through the OBJ parser and come out
+        # empty; fail HERE instead of far away in an AABB reduction
+        raise ValueError(
+            f"no triangle geometry parsed from {path} (unsupported mesh "
+            "format or empty mesh; supported: OBJ, STL, PLY)")
     mesh = _drop_degenerate_faces(mesh)
     if weld_tolerance is not None:
         mesh = weld_vertices(mesh, weld_tolerance)
@@ -516,23 +522,26 @@ def capsule_mesh(radius: float = 0.25, height: float = 1.0, segments: int = 16,
     faces = []
     half = height / 2.0
     vs = []
-    # bottom pole to equator (lower hemisphere shifted by -half)
-    for r in range(rings + 1):
+    # near-bottom-pole to equator (lower hemisphere shifted by -half);
+    # r starts at 1: the phi = -pi/2 ring would be `segments` coincident
+    # vertices at the pole, emitting zero-area strip triangles — the pole
+    # fans below close the caps instead
+    for r in range(1, rings + 1):
         phi = -np.pi / 2 + (np.pi / 2) * r / rings
         z = -half + radius * np.sin(phi)
         rr = radius * np.cos(phi)
         ring = [(rr * np.cos(a), rr * np.sin(a), z)
                 for a in np.linspace(0, 2 * np.pi, segments, endpoint=False)]
         vs.extend(ring)
-    # equator to top pole (upper hemisphere shifted by +half)
-    for r in range(rings + 1):
+    # equator to near-top-pole (upper hemisphere shifted by +half)
+    for r in range(rings):
         phi = (np.pi / 2) * r / rings
         z = half + radius * np.sin(phi)
         rr = radius * np.cos(phi)
         ring = [(rr * np.cos(a), rr * np.sin(a), z)
                 for a in np.linspace(0, 2 * np.pi, segments, endpoint=False)]
         vs.extend(ring)
-    n_rings = 2 * (rings + 1)
+    n_rings = 2 * rings
     for r in range(n_rings - 1):
         for i in range(segments):
             j = (i + 1) % segments

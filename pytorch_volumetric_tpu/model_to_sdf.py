@@ -257,16 +257,18 @@ class RobotSDF(sdf.ObjectFrameSDF):
         if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)
 
-            def fn(qf, pf, fast_tables):
+            def fn(qf, pf, fast_tables, generic_aux):
                 m, m_inv = self._link_transforms(qf)
                 return compose_query_coherent(children, m, m_inv,
                                               qf.shape[0], pf,
                                               fast_tables=fast_tables,
-                                              values_only=values_only)
+                                              values_only=values_only,
+                                              generic_aux=generic_aux)
 
             setattr(self, cache_attr, jax.jit(fn))
         out = getattr(self, cache_attr)(
-            q_flat, pts, sdf.coherent_fast_tables(self.sdf.sdfs))
+            q_flat, pts, sdf.coherent_fast_tables(self.sdf.sdfs),
+            sdf.coherent_generic_aux(self.sdf.sdfs))
         if values_only:
             return out[:, take_idx].reshape(q_batch + grid_shape)
         vv, gg = out

@@ -146,27 +146,31 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
     per device).  ``values_only=True`` returns just ``val [A, P]`` (gradients
     stopped; ~2x faster — collision checks / occupancy rasters)."""
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            coherent_generic_aux,
                                             compose_query_coherent)
 
     children = tuple(robot_sdf.sdf.sdfs)
 
-    def fn(q, pts, fast_tables):
+    def fn(q, pts, fast_tables, generic_aux):
         m, m_inv = robot_sdf._link_transforms(q)
         return compose_query_coherent(children, m, m_inv, q.shape[0], pts,
                                       fast_tables=fast_tables,
-                                      values_only=values_only)
+                                      values_only=values_only,
+                                      generic_aux=generic_aux)
 
     val_sh = NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS))
     jitted = jax.jit(
         fn,
         in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
                       NamedSharding(mesh, P(POINT_AXIS, None)),
-                      NamedSharding(mesh, P())),  # tables replicated
+                      NamedSharding(mesh, P()),   # tables replicated
+                      NamedSharding(mesh, P())),
         out_shardings=val_sh if values_only else
         (val_sh, NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
     )
     ft = coherent_fast_tables(children)
-    return lambda q, pts: jitted(q, pts, ft)
+    ga = coherent_generic_aux(children)
+    return lambda q, pts: jitted(q, pts, ft, ga)
 
 
 def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:

@@ -93,19 +93,28 @@ class ObjectFactory(abc.ABC):
         self.weld_tolerance = weld_tolerance
 
         self._mesh = mesh
+        self._mesh_was_given = mesh is not None
         self._scene: Optional[mesh_mod.MeshScene] = None
         self._query_fn = None
         self.precompute_sdf()
 
+    def _reduce_kwargs(self):
+        kw = dict(scale=self.scale,
+                  vis_frame_pos=self.vis_frame_pos,
+                  vis_frame_rot=self.vis_frame_rot,
+                  plausible_suboptimality=self.plausible_suboptimality,
+                  surface_normal_eps=self.surface_normal_eps,
+                  winding_threshold=self.winding_threshold,
+                  weld_tolerance=self.weld_tolerance,
+                  **self.other_load_kwargs)
+        if getattr(self, "_mesh_was_given", False):
+            # an in-memory mesh has no file to reload from; ship it along
+            # (host numpy dataclass — pickles fine)
+            kw["mesh"] = self._mesh
+        return kw
+
     def __reduce__(self):
-        return partial(self.__class__, scale=self.scale,
-                       vis_frame_pos=self.vis_frame_pos,
-                       vis_frame_rot=self.vis_frame_rot,
-                       plausible_suboptimality=self.plausible_suboptimality,
-                       surface_normal_eps=self.surface_normal_eps,
-                       winding_threshold=self.winding_threshold,
-                       weld_tolerance=self.weld_tolerance,
-                       **self.other_load_kwargs), (self.name,)
+        return partial(self.__class__, **self._reduce_kwargs()), (self.name,)
 
     def make_collision_obj(self, z, rgba=None):
         return None, None
@@ -192,13 +201,7 @@ class MeshObjectFactory(ObjectFactory):
 
     def __reduce__(self):
         return partial(self.__class__, path_prefix=self.path_prefix,
-                       scale=self.scale, vis_frame_pos=self.vis_frame_pos,
-                       vis_frame_rot=self.vis_frame_rot,
-                       plausible_suboptimality=self.plausible_suboptimality,
-                       surface_normal_eps=self.surface_normal_eps,
-                       winding_threshold=self.winding_threshold,
-                       weld_tolerance=self.weld_tolerance,
-                       **self.other_load_kwargs), (self.name,)
+                       **self._reduce_kwargs()), (self.name,)
 
     def get_mesh_resource_filename(self) -> str:
         mesh_path = self.name
@@ -608,6 +611,18 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 COHERENT_SEG = 4
 
 
+def _aabb_distance_grad(bb: jnp.ndarray, pts: jnp.ndarray):
+    """Distance-to-AABB under-approximation + its gradient (reference
+    sdf.py:555-571).  ONE implementation: the coherent paths' exactness
+    contract requires this math bit-identical everywhere it appears."""
+    dmin = jnp.maximum(bb[:, 0] - pts, 0.0)
+    dmax = jnp.maximum(pts - bb[:, 1], 0.0)
+    dtotal = dmax - dmin  # the dmin component enters negatively
+    dist = jnp.linalg.norm(dtotal, axis=-1)
+    grad = dtotal / jnp.maximum(dist, 1e-12)[..., None]
+    return dist, grad
+
+
 def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     """The ``_CoherentTables`` tuple for the coherent-fast children of
     ``children`` (in child order), ready to thread into
@@ -668,10 +683,7 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables]):
             offf = jnp.sum(off * off_ravel, axis=-1)
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
             v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
-            dmin = jnp.maximum(t.bb[:, 0] - p, 0.0)
-            dmax = jnp.maximum(p - t.bb[:, 1], 0.0)
-            dtotal = dmax - dmin
-            v_oob = jnp.linalg.norm(dtotal, axis=-1)
+            v_oob, _ = _aabb_distance_grad(t.bb, p)
             v = jnp.where(valid, v_in, v_oob)
             best_v = v if best_v is None else jnp.minimum(best_v, v)
         return best_v
@@ -745,11 +757,7 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             # out-of-bounds: distance-to-AABB under-approximation, carrying
             # its gradient through the min-union so no per-point winner
             # reconstruction is needed afterwards
-            dmin = jnp.maximum(t.bb[:, 0] - p, 0.0)
-            dmax = jnp.maximum(p - t.bb[:, 1], 0.0)
-            dtotal = dmax - dmin
-            v_oob = jnp.linalg.norm(dtotal, axis=-1)
-            g_oob = dtotal / jnp.maximum(v_oob, 1e-12)[..., None]
+            v_oob, g_oob = _aabb_distance_grad(t.bb, p)
             v = jnp.where(valid, v_in, v_oob)
             g = jnp.where(valid[..., None], g_in, g_oob)
             if best_v is None:
@@ -785,10 +793,21 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
     return lookup
 
 
+def coherent_generic_aux(children: Sequence["ObjectFrameSDF"]):
+    """``raw_query_aux`` pytrees of the children that take the GENERIC
+    sub-path in :func:`compose_query_coherent` (in that order).  Thread it
+    through your jit as an argument alongside ``fast_tables`` when any
+    generic child carries big tables (trilinear/GT-fallback caches,
+    narrow-band meshes)."""
+    return tuple(s.raw_query_aux() for s in children
+                 if not _is_coherent_fast_child(s))
+
+
 def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                            obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
                            batch: int, points: jnp.ndarray,
-                           fast_tables=None, values_only: bool = False):
+                           fast_tables=None, values_only: bool = False,
+                           generic_aux=None):
     """Min-union query like :func:`compose_query` but using the segmented
     brick-gather fast path for ``CachedSDF`` children.
 
@@ -824,17 +843,27 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
 
     fast = [i for i, s in enumerate(children) if _is_coherent_fast_child(s)]
     generic = [i for i in range(S) if i not in fast]
+    if generic_aux is None:
+        # trace-time fetch: correct, but captures any big generic-child
+        # tables as program constants — thread coherent_generic_aux(children)
+        # through your jit to avoid that
+        generic_aux = tuple(children[i].raw_query_aux() for i in generic)
+
+    def generic_query(k, i, pts_flat):
+        if generic_aux[k] is None:
+            return children[i].raw_query(pts_flat)
+        return children[i].raw_query_with(generic_aux[k], pts_flat)
 
     if values_only and not fast:
         best_v = None
-        for i in generic:
-            v, _ = children[i].raw_query(
-                jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
+        for k, i in enumerate(generic):
+            v, _ = generic_query(
+                k, i, jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
             v = v.reshape(batch, F)
             best_v = v if best_v is None else jnp.minimum(best_v, v)
         return best_v
 
-    best_v = best_g = None
+    best_v = best_g = best_i = None
     if fast:
         if fast_tables is not None:
             tables = fast_tables
@@ -858,8 +887,9 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
             best_v = values(
                 jax.lax.stop_gradient(jnp.stack([pts_all[i] for i in fast])),
                 tuple(t.bricks for t in tables))
-            for i in generic:
-                v, _ = children[i].raw_query(
+            for k, i in enumerate(generic):
+                v, _ = generic_query(
+                    k, i,
                     jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
@@ -868,20 +898,27 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
                                  tuple(t.bricks for t in tables))
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
+        best_i = jnp.zeros(val.shape, dtype=jnp.int32)
         for ci, i in enumerate(fast):
             g_rot = tfm.rotate_vectors(R_back[i], g_link)
             best_g = best_g + oh[ci][..., None] * g_rot
+            best_i = jnp.where(oh[ci] > 0.5, i, best_i)
         best_v = val
-    for i in generic:
-        v, g = children[i].raw_query(pts_all[i].reshape(batch * F, 3))
+    for k, i in enumerate(generic):
+        v, g = generic_query(k, i, pts_all[i].reshape(batch * F, 3))
         v = v.reshape(batch, F)
         g = tfm.rotate_vectors(R_back[i], g.reshape(batch, F, 3))
         if best_v is None:
             best_v, best_g = v, g
+            best_i = jnp.full(v.shape, i, dtype=jnp.int32)
         else:
-            better = v < best_v
+            # tie-break on the ORIGINAL child index so exact-tie winners (and
+            # their gradients) match compose_query's first-wins index order,
+            # even though fast children were evaluated first here
+            better = (v < best_v) | ((v == best_v) & (i < best_i))
             best_v = jnp.where(better, v, best_v)
             best_g = jnp.where(better[..., None], g, best_g)
+            best_i = jnp.where(better, i, best_i)
     return best_v, best_g
 
 
@@ -979,9 +1016,14 @@ class ComposedSDF(ObjectFrameSDF):
         for i, s in enumerate(self.sdfs):
             if not _is_coherent_fast_child(s):
                 continue
-            t = s._coherent_tables()
-            k = np.round((pts_all[i] - np.asarray(t.lo)) / np.asarray(t.res))
-            kc = np.clip(k, 0, np.asarray(t.n) - 1).astype(np.int64)
+            # only the tiny grid fields are needed — do NOT trigger the lazy
+            # 32x brick-table device build just to gate the fast path (f32
+            # casts match the device tables' arithmetic)
+            lo = np.asarray(s.voxels.lo, dtype=np.float32)
+            res = np.asarray(s.voxels.res, dtype=np.float32)
+            n = np.asarray(s.voxels.shape)
+            k = np.round((pts_all[i] - lo) / res)
+            kc = np.clip(k, 0, n - 1).astype(np.int64)
             ks = kc.reshape(B, F // COHERENT_SEG, COHERENT_SEG, 3)
             corner = 2 * (ks.min(axis=2) // 2)
             if (ks.max(axis=2) - corner).max() > 3:
@@ -1009,17 +1051,20 @@ class ComposedSDF(ObjectFrameSDF):
             children = tuple(self.sdfs)
             B = self._batch
 
-            def fn(points, m, m_inv, fast_tables):
+            def fn(points, m, m_inv, fast_tables, generic_aux):
                 return compose_query_coherent(children, m, m_inv, B, points,
                                               fast_tables=fast_tables,
-                                              values_only=values_only)
+                                              values_only=values_only,
+                                              generic_aux=generic_aux)
 
             setattr(self, cache_attr, jax.jit(fn))
-        # brick tables ride in as arguments, not captured constants (they
-        # are 8x the value grids; constants at that scale compile slowly)
+        # brick tables AND generic children's big tables ride in as
+        # arguments, not captured constants (constants at that scale cost
+        # minutes of compile per retrace)
         out = getattr(self, cache_attr)(
             pts, self.obj_frame_to_link_frame.get_matrix(),
-            self.link_frame_to_obj_frame, coherent_fast_tables(self.sdfs))
+            self.link_frame_to_obj_frame, coherent_fast_tables(self.sdfs),
+            coherent_generic_aux(self.sdfs))
         F = pts.shape[0]
         if values_only:
             vv = out
@@ -1088,13 +1133,26 @@ def _grid_sweep(gt_sdf: "ObjectFrameSDF", pts: jnp.ndarray,
     pad = n * chunk - P
     pts_padded = jnp.pad(pts, ((0, pad), (0, 0))) if pad else pts
     logger.info("grid sweep: %d points in %d chunks", P, n)
-    raw = gt_sdf.raw_query
+    # thread the ground truth's big tables (narrow-band candidates, cached
+    # grids) as jit ARGUMENTS, not captured constants (CLAUDE.md rule)
+    aux = gt_sdf.raw_query_aux()
+    if aux is None:
+        raw = gt_sdf.raw_query
 
-    @jax.jit
-    def sweep(pc):
-        return jax.lax.map(raw, pc)
+        @jax.jit
+        def sweep(pc):
+            return jax.lax.map(raw, pc)
 
-    v, g = sweep(pts_padded.reshape(n, chunk, d))
+        v, g = sweep(pts_padded.reshape(n, chunk, d))
+    else:
+        leaves, treedef = jax.tree_util.tree_flatten(aux)
+
+        @jax.jit
+        def sweep_aux(pc, *aux_leaves):
+            a = jax.tree_util.tree_unflatten(treedef, aux_leaves)
+            return jax.lax.map(lambda p: gt_sdf.raw_query_with(a, p), pc)
+
+        v, g = sweep_aux(pts_padded.reshape(n, chunk, d), *leaves)
     return (np.asarray(v).reshape(-1)[:P],
             np.asarray(g).reshape(-1, d)[:P])
 
@@ -1227,13 +1285,7 @@ class CachedSDF(ObjectFrameSDF):
             val_in, grad_in, valid = gather(vg, pts)
             if strategy == OutOfBoundsStrategy.BOUNDING_BOX:
                 # distance to the surface AABB: always an under-approximation
-                # (reference sdf.py:555-571)
-                dmin = jnp.maximum(bb[:, 0] - pts, 0.0)
-                dmax = jnp.maximum(pts - bb[:, 1], 0.0)
-                dtotal = dmax - dmin  # dmin component enters negatively
-                dist = jnp.linalg.norm(dtotal, axis=-1)
-                grad_oob = dtotal / jnp.maximum(dist, 1e-12)[..., None]
-                val_oob, g_oob = dist, grad_oob
+                val_oob, g_oob = _aabb_distance_grad(bb, pts)
             else:
                 if gt_raw is None:
                     raise RuntimeError("LOOKUP_GT_SDF requires a ground-truth SDF")
@@ -1316,6 +1368,14 @@ class CachedSDF(ObjectFrameSDF):
         return jnp.asarray(pad_aabb(self._stored_bb, padding, padding_ratio))
 
     def _fallback_sdf_value_func(self, *args, **kwargs):
+        if self.gt_sdf is None:
+            # warm-restart without a ground truth: fall back to the AABB
+            # under-approximation (same convention as BOUNDING_BOX queries)
+            pts = as_float_array(args[0])
+            bb = jnp.asarray(np.asarray(self.surface_bounding_box()),
+                             dtype=jnp.float32)
+            dist, _ = _aabb_distance_grad(bb, pts)
+            return dist
         sdf_val, _ = self.gt_sdf(*args, **kwargs)
         return sdf_val
 
@@ -1367,6 +1427,10 @@ class CachedSDF(ObjectFrameSDF):
                        device=None) -> GridView:
         if voxels is None:
             return self.voxels
+        if self.gt_sdf is None:
+            raise RuntimeError(
+                "get_voxel_view with a custom grid re-evaluates the ground "
+                "truth; this CachedSDF was restored from cache without one")
         pts = voxels.get_voxel_center_points()
         sdf_val, _ = self.gt_sdf(pts)
         shape = [len(c) for c in voxels.coords]

@@ -252,3 +252,35 @@ def test_query_grid_values_only(robot):
     # generic fallback (too-coarse sweep) honors the flag as well
     v_gen = robot.query_grid(q, query_range, 0.03, values_only=True)
     assert v_gen.shape[0] == 3
+
+
+def test_mixed_fast_generic_tie_break(tmp_path):
+    """A union mixing a generic child (analytic box, index 0) with a cached
+    fast child (same box) produces massive exact value ties (the cached OOB
+    AABB fallback equals the analytic box distance); the coherent path must
+    pick the same winner — and therefore the same gradient — as the generic
+    path's first-wins index order."""
+    from pytorch_volumetric_tpu import mesh as m
+    from pytorch_volumetric_tpu.transforms import Transform3d
+
+    d = str(tmp_path)
+    p = f"{d}/b.obj"
+    m.save_obj(m.box_mesh((0.2, 0.2, 0.2)), p)
+    fac = pv.MeshObjectFactory(p)
+    cached = pv.CachedSDF("b", 0.08, fac.bounding_box(padding=0.1),
+                          pv.MeshSDF(fac), cache_path=f"{d}/c.npz")
+    prim = pv.BoxSDF((0.2, 0.2, 0.2))
+    eye2 = lambda: Transform3d(matrix=jnp.tile(jnp.eye(4)[None], (2, 1, 1)))
+    comp_c = pv.ComposedSDF([prim, cached], eye2())
+    comp_g = pv.ComposedSDF([prim, cached], eye2())
+    pc, _ = pv.get_coherent_grid_points(
+        0.04, np.array([[-0.4, 0.4]] * 3))
+    assert comp_c.check_coherent_contract(pc)
+    v_c, g_c = comp_c.query_coherent(pc)
+    v_g, g_g = comp_g(pc)
+    # ties must actually occur for this test to mean anything
+    v_p, _ = prim.raw_query(pc)
+    v_1, _ = cached.raw_query(pc)
+    assert int(np.sum(np.asarray(v_p) == np.asarray(v_1))) > 100
+    assert np.array_equal(np.asarray(v_c), np.asarray(v_g))
+    assert np.array_equal(np.asarray(g_c), np.asarray(g_g))

@@ -25,7 +25,7 @@ def test_parse_and_frames(arm):
     assert names[0] == "link0" and names[-1] == "link3"
     frame = chain.find_frame("link1")
     assert frame.link.visuals[0].geom_type == "mesh"
-    assert frame.link.visuals[0].geom_param[0] == "link1.obj"
+    assert frame.link.visuals[0].geom_param[0] == "link_cap.obj"
 
 
 def test_fk_zero_config(arm):
