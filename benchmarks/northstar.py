@@ -134,8 +134,12 @@ def main():
         log(f"{name}: {dt*1e3:.0f} ms for {N}x{M} -> "
             f"{N * M / dt / 1e6:.1f}M queries/s (acc={acc:.3e})")
 
+    # keep the historical bare key for the default arm workload; only the
+    # new mesh-real mode gets a suffix
+    metric = ("northstar_200x1e6" if args.robot == "arm"
+              else f"northstar_200x1e6_{args.robot}")
     print(json.dumps({
-        "metric": f"northstar_200x1e6_{args.robot}",
+        "metric": metric,
         "value": round(N * M / results["forward"], 1),
         "unit": f"config-point queries/s ({N} configs x {M} pts, fwd)",
         "extra": {

@@ -568,9 +568,12 @@ def build_chain_from_sdf(data: str, model_name: Optional[str] = None) -> Chain:
                 axis = R_joint.T @ axis
             limit_elem = axis_elem.find("limit")
             if limit_elem is not None:
-                limits = _parse_limits(limit_elem.findtext("lower"),
-                                       limit_elem.findtext("upper"),
-                                       present=True)
+                # SDFormat (unlike URDF) defaults an omitted bound to
+                # unbounded, not 0
+                lo_txt = (limit_elem.findtext("lower") or "").strip()
+                hi_txt = (limit_elem.findtext("upper") or "").strip()
+                limits = (float(lo_txt) if lo_txt else -np.inf,
+                          float(hi_txt) if hi_txt else np.inf)
         joints.append(Joint(name=j.get("name"), joint_type=jtype, origin=origin,
                             axis=axis, parent_link=parent, child_link=child,
                             limits=limits, joint_offset=joint_offset))

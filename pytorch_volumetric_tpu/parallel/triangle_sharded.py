@@ -46,10 +46,11 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
         self.point_axis = point_axis
         n_shards = device_mesh.shape[self.axis]
         extra = [a for a in device_mesh.axis_names if a != self.axis]
-        if extra and extra != [point_axis]:
+        if extra != ([] if point_axis is None else [point_axis]):
             raise ValueError(
-                f"mesh axes {device_mesh.axis_names}: pass point_axis= for "
-                f"the non-triangle axis (got point_axis={point_axis!r})")
+                f"mesh axes {device_mesh.axis_names} with triangle axis "
+                f"{self.axis!r}: point_axis must name exactly the remaining "
+                f"axis (got point_axis={point_axis!r})")
 
         scene = obj_factory.scene
         Fp = scene.padded_faces
@@ -68,9 +69,11 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
         self.normals = jax.device_put(jnp.asarray(normals), tri_sharding)
         self.shard_size = shard
         self.surface_normal_eps = obj_factory.surface_normal_eps
+        self.winding_threshold = obj_factory.winding_threshold
 
         axis_name = self.axis
         eps = self.surface_normal_eps
+        thr = self.winding_threshold
         # with a point axis, each device row sweeps its point shard against
         # its triangle shard; collectives reduce over the triangle axis only,
         # so the point axis stays embarrassingly parallel
@@ -94,15 +97,15 @@ class TriangleShardedMeshSDF(sdf_mod.ObjectFrameSDF):
             normal_local = normals_local[fid]
             n_g = lax.psum(jnp.where(is_winner[:, None], normal_local, 0.0),
                            axis_name)
-            fid_g = lax.psum(jnp.where(is_winner, fid + me * shard, 0), axis_name)
             return d_global, cp_g, n_g, wind
 
         def raw(pts):
             dist, closest, face_n, wind = sharded(pts, self.tri, self.normals)
             # |winding| to match MeshSDF / signed_closest_query: an
             # inward-wound mesh has winding -1 inside and must still
-            # classify as inside (reference sign semantics sdf.py:147-157).
-            inside = jnp.abs(wind) > 0.5
+            # classify as inside (reference sign semantics sdf.py:147-157);
+            # the factory's winding_threshold knob applies here too
+            inside = jnp.abs(wind) > thr
             sign = jnp.where(inside, -1.0, 1.0).astype(pts.dtype)
             sdf_val = sign * dist
             away = pts - closest

@@ -86,23 +86,12 @@ def checked_query(sdf, max_grad_norm: float = None,
     if aux is not None:
         leaves, treedef = jax.tree_util.tree_flatten(aux)
 
-        def raw_args(pts, *aux_leaves):
-            return sdf.raw_query_with(
-                jax.tree_util.tree_unflatten(treedef, aux_leaves), pts)
-
         def guarded(pts, *aux_leaves):
-            checkify.check(jnp.all(jnp.isfinite(pts)),
-                           "non-finite query points")
-            val, grad = raw_args(pts, *aux_leaves)
-            gn = jnp.linalg.norm(grad, axis=-1)
-            checkify.check(jnp.all(jnp.isfinite(val)),
-                           "non-finite SDF values")
-            checkify.check(jnp.all(jnp.isfinite(grad)),
-                           "non-finite SDF gradients")
-            checkify.check(jnp.all(gn <= max_grad_norm),
-                           "SDF gradient norm {m} exceeds the unit-direction "
-                           "bound", m=jnp.max(gn))
-            return val, grad
+            def raw(p):
+                return sdf.raw_query_with(
+                    jax.tree_util.tree_unflatten(treedef, aux_leaves), p)
+
+            return guarded_raw_query(raw, max_grad_norm)(pts)
 
         inner = jax.jit(checkify.checkify(guarded))
         fn = lambda pts: inner(pts, *leaves)

@@ -15,5 +15,7 @@ def is_inside(points, range_per_dim) -> jnp.ndarray:
     32-bit mode f64 inputs still become f32; enable jax_enable_x64 for
     full-precision containment."""
     points = jnp.asarray(points)
-    rng = jnp.asarray(range_per_dim, dtype=points.dtype)
+    rng = jnp.asarray(range_per_dim)
+    # let comparison promotion handle mixed dtypes (int points vs float
+    # range must promote, not truncate the bounds)
     return jnp.all((rng[:, 0] <= points) & (points <= rng[:, 1]), axis=-1)
