@@ -64,3 +64,18 @@ def test_pallas_small_mesh():
     d1, _, _, w1 = mesh_closest_query_pallas(pts, scene.tri, interpret=INTERPRET)
     assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
     assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4  # in-kernel polynomial atan2
+
+
+def test_pallas_unaligned_triangle_count():
+    """A RAW (non-128-padded) triangle array must still produce 128-aligned
+    lane tiles (an unaligned BlockSpec passes interpret mode but fails Mosaic
+    lowering on real TPUs)."""
+    mesh = m.icosphere_mesh(0.25, 2)  # 320 faces: not a multiple of 128
+    tri = jnp.asarray(mesh.triangles().astype(np.float32))
+    assert tri.shape[0] % 128 != 0
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (64, 3)).astype(np.float32))
+    d0, c0, f0, w0 = mesh_closest_query(pts, tri)
+    d1, c1, f1, w1 = mesh_closest_query_pallas(pts, tri, interpret=INTERPRET)
+    assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-6
+    assert np.abs(np.asarray(w0) - np.asarray(w1)).max() < 5e-4
