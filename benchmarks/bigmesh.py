@@ -82,10 +82,22 @@ def main():
     probe = pts[-2048:]
     v_nb = np.asarray(jax.jit(nb.raw_query)(probe)[0])
     v_bf = np.asarray(jax.jit(exact.raw_query)(probe)[0])
-    in_band = np.abs(v_bf) < args.band / 2
+    # "in band" by the ACTUAL cell slot (distance-based selection would count
+    # max_k-demoted cells, whose bounded far-field error is not the exact
+    # path's): the exact path's error here should be ~0
+    t = nb.tables
+    k = np.floor((np.asarray(probe) - np.asarray(t.lo))
+                 / np.asarray(t.res)).astype(int)
+    ingrid = ((k >= 0) & (k < np.asarray(t.dims))).all(-1)
+    kc = np.clip(k, 0, np.asarray(t.dims) - 1)
+    slot = np.asarray(t.meta)[(kc * np.asarray(t.strides)).sum(-1), 4]
+    in_band = ingrid & (slot >= 0)
+    far = ingrid & (slot < 0)
     max_band_err = float(np.abs(v_nb - v_bf)[in_band].max()) if in_band.any() else -1.0
+    far_err = float(np.abs(v_nb - v_bf)[far].max()) if far.any() else -1.0
     log(f"in-band max err vs brute force ({int(in_band.sum())} pts): "
-        f"{max_band_err:.2e}")
+        f"{max_band_err:.2e}; far-field max err ({int(far.sum())} pts): "
+        f"{far_err:.2e}")
 
     print(json.dumps({
         "metric": "bigmesh_narrow_band_qps",
@@ -95,6 +107,7 @@ def main():
             "speedup_vs_brute_force": round(qps_nb / qps_bf, 1),
             "brute_force_qps": round(qps_bf, 1),
             "in_band_max_err": max_band_err,
+            "far_field_max_err": far_err,
         },
     }))
 
