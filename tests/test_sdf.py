@@ -214,3 +214,37 @@ def test_factory_pickle(assets):
     r1 = obj.object_frame_closest_point(pts)
     r2 = obj2.object_frame_closest_point(pts)
     assert np.allclose(r1.distance, r2.distance)
+
+
+def test_get_voxel_view_and_gtless_restart(assets, tmp_path):
+    """get_voxel_view rasterizes the SDF with a gt fallback for out-of-range
+    reads (reference sdf.py:248-264, 604-614); a CachedSDF restored WITHOUT
+    its ground truth still answers out-of-range reads via the AABB
+    under-approximation, and refuses a custom-grid re-rasterization with a
+    descriptive error."""
+    obj = pv.MeshObjectFactory(assets["box"])
+    gt = pv.MeshSDF(obj)
+    cache_path = str(tmp_path / "c.npz")
+    cached = pv.CachedSDF("box", 0.02, obj.bounding_box(padding=0.05), gt,
+                          cache_path=cache_path)
+
+    # default view is the cache's own grid; values match queries
+    view = cached.get_voxel_view()
+    pts = jnp.array([[0.0, 0.0, 0.0], [0.1, 0.05, 0.0]])
+    assert np.allclose(np.asarray(view[pts]), np.asarray(cached(pts)[0]))
+
+    # MeshSDF rasterized onto a custom grid (the ABC's path)
+    from pytorch_volumetric_tpu.voxel import VoxelGrid
+    gv = gt.get_voxel_view(VoxelGrid(0.05, obj.bounding_box(padding=0.02)))
+    assert np.allclose(float(gv[jnp.zeros((1, 3))][0]),
+                       float(gt(jnp.zeros((1, 3)))[0][0]), atol=0.05)
+
+    # warm restart without gt: in-grid identical, out-of-grid AABB fallback
+    restored = pv.CachedSDF("box", 0.02, obj.bounding_box(padding=0.05), None,
+                            cache_path=cache_path)
+    assert np.array_equal(np.asarray(restored(pts)[0]),
+                          np.asarray(cached(pts)[0]))
+    far = jnp.array([[0.9, 0.9, 0.9]])
+    assert np.isfinite(float(restored.get_voxel_view()[far][0]))
+    with pytest.raises(RuntimeError):
+        restored.get_voxel_view(VoxelGrid(0.05, obj.bounding_box(padding=0.2)))
