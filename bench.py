@@ -144,7 +144,13 @@ def main():
     log(f"forward N=20: {fwd20_s * 1e3:.2f} ms "
         f"(reference 37.69 ms) -> {20 * M / fwd20_s / 1e6:.1f}M queries/s")
 
-    mesh_extra = bench_real_mesh(jax, jnp, pv, chained, N, log)
+    # the mesh-real rows are additive: never lose the headline JSON to a
+    # failure (or slow cold build) in this optional section
+    try:
+        mesh_extra = bench_real_mesh(jax, jnp, pv, chained, N, log)
+    except Exception as e:  # noqa: BLE001 - diagnostic row instead of death
+        log(f"bench_real_mesh failed: {e!r}")
+        mesh_extra = {"real_mesh_bench_error": repr(e)[:200]}
 
     print(json.dumps({
         "metric": "robot_sdf_query_throughput",
