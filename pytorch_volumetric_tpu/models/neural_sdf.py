@@ -32,13 +32,12 @@ with the values — smooth everywhere, unlike voxel staircase fields.
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pytorch_volumetric_tpu import transforms as tfm
 from pytorch_volumetric_tpu.sdf import ObjectFrameSDF
 from pytorch_volumetric_tpu.utils.batching import as_float_array
 
