@@ -35,9 +35,10 @@ def main():
     ap.add_argument("--points-side", type=int, default=100,
                     help="query grid is side^3 points")
     ap.add_argument("--chunk", type=int, default=25,
-                    help="configurations per lax.map chunk (25 is the 16 GB "
-                         "v5e sweet spot: 50 OOMs at 22.5 GB, 10 loses ~25%% "
-                         "throughput to per-chunk latency)")
+                    help="starting configurations per lax.map chunk (25 was "
+                         "the 16 GB v5e sweet spot on the value-only brick "
+                         "layout; on OOM the script automatically retries "
+                         "with the next smaller divisor of --configs)")
     ap.add_argument("--robot", choices=["arm", "drill"], default="arm",
                     help="'arm': procedural 7-DOF capsule arm (8 links); "
                          "'drill': the reference's 15,728-face YcbPowerDrill "
@@ -84,8 +85,7 @@ def main():
     query_range = np.array([[lo, lo + res * (side - 1)]] * 3)
     pts, take_idx = pv.get_coherent_grid_points(res, query_range)
     M = take_idx.shape[0]
-    N, C = args.configs, args.chunk
-    assert N % C == 0
+    N = args.configs
     rng = np.random.default_rng(0)
     th = jnp.asarray(rng.normal(0, 0.3, (N, n_dof)).astype(np.float32))
     children = tuple(robot.sdf.sdfs)
@@ -93,46 +93,78 @@ def main():
     # minutes of compile)
     ft = coherent_fast_tables(children)
 
-    def chunk_loss(q_chunk, p, ft):
-        m, m_inv = robot._link_transforms(q_chunk)
-        v, g = compose_query_coherent(children, m, m_inv, C, p,
-                                      fast_tables=ft)
-        return v.sum() + g.sum()
+    def build_fns(C):
+        """Jit the three step variants at configuration-chunk size ``C``."""
 
-    @jax.jit
-    def forward(q, p, ft):
-        losses = jax.lax.map(lambda qc: chunk_loss(qc, p, ft),
-                             q.reshape(N // C, C, -1))
-        return losses.sum()
+        def chunk_loss(q_chunk, p, ft):
+            m, m_inv = robot._link_transforms(q_chunk)
+            v, g = compose_query_coherent(children, m, m_inv, C, p,
+                                          fast_tables=ft)
+            return v.sum() + g.sum()
 
-    @jax.jit
-    def forward_backward(q, p, ft):
-        def per_chunk(qc):
-            l, gq = jax.value_and_grad(lambda x: chunk_loss(x, p, ft))(qc)
-            return l + gq.sum()
-        return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
+        @jax.jit
+        def forward(q, p, ft):
+            losses = jax.lax.map(lambda qc: chunk_loss(qc, p, ft),
+                                 q.reshape(N // C, C, -1))
+            return losses.sum()
 
-    @jax.jit
-    def values_only(q, p, ft):
-        def per_chunk(qc):
-            m, m_inv = robot._link_transforms(qc)
-            return compose_query_coherent(children, m, m_inv, C, p,
-                                          fast_tables=ft,
-                                          values_only=True).sum()
-        return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
+        @jax.jit
+        def forward_backward(q, p, ft):
+            def per_chunk(qc):
+                l, gq = jax.value_and_grad(lambda x: chunk_loss(x, p, ft))(qc)
+                return l + gq.sum()
+            return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
 
-    results = {}
-    for name, fn in (("forward", forward), ("forward_backward", forward_backward),
-                     ("values_only", values_only)):
-        t0 = time.perf_counter()
-        float(fn(th, pts, ft))  # compile + run
-        log(f"{name} compile+first run: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        acc = float(fn(th, pts, ft))
-        dt = time.perf_counter() - t0
-        results[name] = dt
-        log(f"{name}: {dt*1e3:.0f} ms for {N}x{M} -> "
-            f"{N * M / dt / 1e6:.1f}M queries/s (acc={acc:.3e})")
+        @jax.jit
+        def values_only(q, p, ft):
+            def per_chunk(qc):
+                m, m_inv = robot._link_transforms(qc)
+                return compose_query_coherent(children, m, m_inv, C, p,
+                                              fast_tables=ft,
+                                              values_only=True).sum()
+            return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
+
+        return (("forward", forward), ("forward_backward", forward_backward),
+                ("values_only", values_only))
+
+    def is_oom(e):
+        s = str(e)
+        return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+                or "out of memory" in s or "OOM" in s)
+
+    # HBM-adaptive chunking: --chunk is a starting point, not a hard promise.
+    # If a chunk OOMs (the 4-channel value+grad bricks are 4x the round-1
+    # layout), fall back to the next-smaller divisor of N and retry rather
+    # than dying and losing the artifact.
+    def chunk_candidates(start):
+        c = min(start, N)
+        while c >= 1:
+            while N % c != 0:
+                c -= 1
+            yield c
+            c //= 2
+
+    results, chunk_used = None, None
+    for C in chunk_candidates(args.chunk):
+        try:
+            results = {}
+            for name, fn in build_fns(C):
+                t0 = time.perf_counter()
+                float(fn(th, pts, ft))  # compile + run
+                log(f"{name} (chunk={C}) compile+first run: "
+                    f"{time.perf_counter() - t0:.1f}s")
+                t0 = time.perf_counter()
+                acc = float(fn(th, pts, ft))
+                dt = time.perf_counter() - t0
+                results[name] = dt
+                log(f"{name}: {dt*1e3:.0f} ms for {N}x{M} -> "
+                    f"{N * M / dt / 1e6:.1f}M queries/s (acc={acc:.3e})")
+            chunk_used = C
+            break
+        except Exception as e:  # noqa: BLE001 - retry only on device OOM
+            if not is_oom(e) or C == 1:
+                raise
+            log(f"chunk={C} OOMed ({str(e)[:160]}); halving")
 
     # keep the historical bare key for the default arm workload; only the
     # new mesh-real mode gets a suffix
@@ -146,6 +178,7 @@ def main():
             "forward_ms": round(results["forward"] * 1e3, 1),
             "forward_backward_ms": round(results["forward_backward"] * 1e3, 1),
             "values_only_ms": round(results["values_only"] * 1e3, 1),
+            "chunk": chunk_used,
         },
     }))
 

@@ -110,11 +110,14 @@ def _pad_to_multiple(x: jnp.ndarray, multiple: int, axis: int):
     return jnp.pad(x, pad), size
 
 
-def pad_for_mesh(x: jnp.ndarray, mesh: Mesh, axis_name: str, axis: int = 0):
+def pad_for_mesh(x: jnp.ndarray, mesh: Mesh, axis_name: str, axis: int = 0,
+                 segment: int = 1):
     """Pad ``x`` along ``axis`` (zeros) so its size divides the mesh axis
-    ``axis_name``.  Returns ``(padded, original_size)`` — slice the outputs
-    back with ``out[..:original_size]``."""
-    return _pad_to_multiple(x, mesh.shape[axis_name], axis)
+    ``axis_name`` with a per-device chunk that is a multiple of ``segment``
+    (``segment=4`` for the coherent brick path, whose 4-point segments must
+    not straddle device boundaries).  Returns ``(padded, original_size)`` —
+    slice the outputs back with ``out[..:original_size]``."""
+    return _pad_to_multiple(x, mesh.shape[axis_name] * segment, axis)
 
 
 def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
@@ -170,7 +173,23 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
     )
     ft = coherent_fast_tables(children)
     ga = coherent_generic_aux(children)
-    return lambda q, pts: jitted(q, pts, ft, ga)
+    n_pt = mesh.shape[POINT_AXIS]
+
+    def run(q, pts):
+        # segments are 4 consecutive points; the point axis must split into
+        # equal contiguous per-device chunks of whole segments, or GSPMD
+        # would silently tear segments across device boundaries.
+        n = pts.shape[0]
+        if n % n_pt != 0 or (n // n_pt) % 4 != 0:
+            raise ValueError(
+                f"coherent sharding needs the point count ({n}) to split "
+                f"into per-device chunks that are multiples of 4 over the "
+                f"{n_pt}-way '{POINT_AXIS}' axis (got chunk "
+                f"{n / n_pt:g}); pad with pad_for_mesh(pts, mesh, "
+                f"POINT_AXIS, segment=4) to a multiple of {4 * n_pt}")
+        return jitted(q, pts, ft, ga)
+
+    return run
 
 
 def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:

@@ -194,6 +194,19 @@ def test_sharded_robot_query_coherent_matches_single(tmp_path):
     assert v_vo.shape == v_sh.shape
     np.testing.assert_allclose(np.asarray(v_vo), np.asarray(v_sh), atol=1e-6)
 
+    # precondition enforced: a point count whose per-device chunk is not a
+    # multiple of 4 must fail loudly (12 pts over 2 devices -> chunk 6)
+    import pytest
+    with pytest.raises(ValueError, match="multiples of 4"):
+        fn(q, pts[:12])
+    # and pad_for_mesh(segment=4) produces a conforming shape
+    padded, orig = parallel.pad_for_mesh(pts[:12], mesh,
+                                         parallel.POINT_AXIS, segment=4)
+    assert orig == 12 and padded.shape[0] == 16
+    v_pad, _ = fn(q, padded)
+    np.testing.assert_allclose(np.asarray(v_pad[:, :12]),
+                               np.asarray(v_sh[:, :12]), atol=1e-6)
+
 
 def test_init_distributed_single_process_noop():
     """init_distributed with no coordinator and no cluster env is a no-op

@@ -17,8 +17,11 @@ def test_draw_sdf_slice(tmp_path):
     m.save_obj(m.icosphere_mesh(0.2, 2), p)
     sdf = pv.MeshSDF(pv.MeshObjectFactory(p))
     qr = np.array([[-0.3, 0.3], [0.0, 0.0], [-0.3, 0.3]])
-    val, grad, pts, ax, c1, c2, v = draw_sdf_slice(sdf, qr, resolution=0.05)
-    assert ax is not None
+    val, grad, pts, ax, c1, c2, v = draw_sdf_slice(sdf, qr, resolution=0.05,
+                                                   plot_grad=True)
+    # the full Agg plot path ran: contourf + 0-contour + quiver artists exist
+    assert ax is not None and c1 is not None and c2 is not None
+    assert any(type(a).__name__ == "Quiver" for a in ax.get_children())
     # slice through the center: min value ~ -0.2 (sphere radius)
     assert abs(float(np.min(v)) + 0.2) < 0.02
     import matplotlib.pyplot as plt
