@@ -334,14 +334,23 @@ def _uniform_scale(s: np.ndarray, context: str) -> float:
     return float(s[0])
 
 
-def _parse_limits(lower, upper, present: bool) -> Tuple[float, float]:
+def _parse_limits(lower, upper, present: bool,
+                  context: str = "") -> Tuple[float, float]:
     """Joint limits from optional lower/upper strings.  Either bound may be
     omitted independently (URDF defaults an omitted bound to 0 when the other
     is given); a <limit> with neither bound — the effort/velocity-only form
-    common on continuous joints — stays unbounded."""
+    common on continuous joints — stays unbounded.  Strict URDF would clamp
+    a revolute/prismatic joint with such a <limit> to zero range; we keep it
+    free-spinning (the common real-world intent) and note the divergence at
+    debug level."""
     lower = lower.strip() if isinstance(lower, str) else lower
     upper = upper.strip() if isinstance(upper, str) else upper
     if not present or (not lower and not upper):
+        if present:
+            logger.debug(
+                "<limit> on joint %s carries no lower/upper bound; treating "
+                "as unbounded (strict URDF would default both bounds to 0)",
+                context or "<unnamed>")
         return (-np.inf, np.inf)
     return (float(lower) if lower else 0.0, float(upper) if upper else 0.0)
 
@@ -427,7 +436,7 @@ def build_chain_from_urdf(data: str) -> Chain:
         limits = _parse_limits(
             limit_elem.get("lower") if limit_elem is not None else None,
             limit_elem.get("upper") if limit_elem is not None else None,
-            present=limit_elem is not None)
+            present=limit_elem is not None, context=j.get("name"))
         mimic_elem = j.find("mimic")
         mimic = None
         if mimic_elem is not None and jtype in ACTUATED_TYPES:

@@ -341,15 +341,33 @@ def _drop_degenerate_faces(mesh: TriangleMesh) -> TriangleMesh:
 
 
 def weld_vertices(mesh: TriangleMesh, tolerance: float) -> TriangleMesh:
-    """Merge vertices closer than ``tolerance`` (snap-to-grid), so triangle
-    soups (e.g. STL) present closed connectivity to the winding-number sign.
-    ``tolerance=0`` merges exact duplicates only."""
+    """Merge vertices within ``tolerance`` of each other (true distance-based:
+    KD-tree pair query + connected components, so near-duplicates straddling
+    any grid boundary still merge), so triangle soups (e.g. STL) present
+    closed connectivity to the winding-number sign.  Merging is transitive —
+    a chain of within-tolerance vertices collapses to its lowest-index
+    member.  ``tolerance=0`` merges exact duplicates only."""
     v = mesh.vertices
-    key = np.round(v / tolerance) if tolerance > 0 else v
-    uniq, first, inv = np.unique(key, axis=0, return_index=True,
-                                 return_inverse=True)
-    del uniq
-    welded = TriangleMesh(v[first], inv[mesh.faces].astype(np.int32))
+    if tolerance > 0:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+        from scipy.spatial import cKDTree
+        n = v.shape[0]
+        pairs = cKDTree(v).query_pairs(tolerance, output_type="ndarray")
+        if pairs.shape[0]:
+            adj = coo_matrix((np.ones(pairs.shape[0]),
+                              (pairs[:, 0], pairs[:, 1])), shape=(n, n))
+            _, labels = connected_components(adj, directed=False)
+        else:
+            labels = np.arange(n)
+        ncomp = int(labels.max()) + 1 if n else 0
+        first = np.full(ncomp, n, dtype=np.int64)
+        np.minimum.at(first, labels, np.arange(n))
+        welded = TriangleMesh(v[first], labels[mesh.faces].astype(np.int32))
+    else:
+        _, first, inv = np.unique(v, axis=0, return_index=True,
+                                  return_inverse=True)
+        welded = TriangleMesh(v[first], inv[mesh.faces].astype(np.int32))
     return _drop_degenerate_faces(welded)
 
 

@@ -92,6 +92,11 @@ class ObjectFactory(abc.ABC):
         # unwelded exports then present closed connectivity to the winding
         self.weld_tolerance = weld_tolerance
 
+        if mesh is not None and weld_tolerance is not None:
+            # welding otherwise happens inside read_triangle_mesh on the
+            # file-load path; honor the knob for directly-passed meshes too
+            # (idempotent on already-welded input)
+            mesh = mesh_mod.weld_vertices(mesh, weld_tolerance)
         self._mesh = mesh
         self._mesh_was_given = mesh is not None
         self._scene: Optional[mesh_mod.MeshScene] = None

@@ -146,6 +146,45 @@ def test_weld_tolerance(tmp_path):
     assert float(v[0]) == pytest.approx(-0.1, abs=1e-5)  # inside the box
 
 
+def test_weld_distance_semantics():
+    """Welding is true distance-based: two vertices within tolerance merge
+    regardless of any internal grid alignment, and vertices farther than
+    tolerance apart stay distinct (chains merge transitively)."""
+    # a degenerate 'mesh' of loose triangles carrying the probe vertices
+    v = np.array([
+        [0.0, 0.0, 0.0], [0.009, 0.0, 0.0],    # within tol=0.01 -> merge
+        [1.0, 0.0, 0.0], [1.02, 0.0, 0.0],     # beyond tol -> distinct
+        [2.0, 0.0, 0.0], [2.009, 0.0, 0.0], [2.018, 0.0, 0.0],  # chain
+        [0.0, 5.0, 0.0], [0.0, 6.0, 0.0],      # far fill (keep faces valid)
+    ])
+    f = np.array([[0, 2, 7], [1, 3, 8], [4, 5, 6]], dtype=np.int32)
+    w = m.weld_vertices(m.TriangleMesh(v, f), 0.01)
+    # merged: {0,1}, {4,5,6} transitively; distinct: 2 vs 3
+    assert w.vertices.shape[0] == 6
+    # the chain collapses its triangle to a degenerate face -> dropped
+    assert w.faces.shape[0] == 2
+    # snap-to-grid regression: 0.0 and 0.009 straddle the round(v/0.01)
+    # cell boundary at 0.005 and would NOT have merged under snapping
+    xs = sorted(w.vertices[:, 0])
+    assert xs.count(0.009) == 0
+
+
+def test_weld_tolerance_in_memory_mesh():
+    """MeshObjectFactory(mesh=..., weld_tolerance=...) welds the directly
+    passed mesh just like the file-load path (advisor finding)."""
+    import pytorch_volumetric_tpu as pv
+    import jax.numpy as jnp
+
+    box = m.box_mesh((0.2, 0.2, 0.2))
+    soup = m.TriangleMesh(box.vertices[box.faces].reshape(-1, 3),
+                          np.arange(36, dtype=np.int32).reshape(-1, 3))
+    fac = pv.MeshObjectFactory(mesh=soup, weld_tolerance=1e-9)
+    assert fac._mesh.vertices.shape[0] == 8
+    sdf = pv.MeshSDF(fac)
+    val, _ = sdf(jnp.zeros((1, 3)))
+    assert float(val[0]) == pytest.approx(-0.1, abs=1e-5)
+
+
 def test_stl_roundtrip_binary(tmp_path):
     box = m.box_mesh((0.3, 0.2, 0.1))
     tri = box.vertices[box.faces]  # [F, 3, 3]
