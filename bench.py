@@ -199,16 +199,18 @@ def main():
     print(json.dumps(headline), flush=True)
 
     # the mesh-real rows are additive: never lose the headline JSON to a
-    # failure (or slow cold build) in this optional section
-    try:
-        mesh_extra = bench_real_mesh(jax, jnp, pv, chained, N, log)
-    except Exception as e:  # noqa: BLE001 - diagnostic row instead of death
-        log(f"bench_real_mesh failed: {e!r}")
-        mesh_extra = {"real_mesh_bench_error": repr(e)[:200]}
-
-    if mesh_extra:
-        headline["extra"].update(mesh_extra)
-        print(json.dumps(headline), flush=True)
+    # failure (or slow cold build) in these optional sections, and reprint
+    # the accumulated JSON after each so a kill between sections keeps
+    # everything measured so far
+    for section in (bench_real_mesh, bench_mesh_arm):
+        try:
+            extra = section(jax, jnp, pv, chained, N, log)
+        except Exception as e:  # noqa: BLE001 - diagnostic row instead of death
+            log(f"{section.__name__} failed: {e!r}")
+            extra = {f"{section.__name__}_error": repr(e)[:200]}
+        if extra:
+            headline["extra"].update(extra)
+            print(json.dumps(headline), flush=True)
 
 
 def bench_real_mesh(jax, jnp, pv, chained, N, log):
@@ -290,6 +292,78 @@ def bench_real_mesh(jax, jnp, pv, chained, N, log):
     extra["pallas_mesh_sdf_qps_M"] = round(P / dt / 1e6, 2)
     extra["pallas_mesh_sdf_faces"] = int(nf)
     extra["pallas_mesh_sdf_gpointtri_s"] = round(P * nf / dt / 1e9, 1)
+    return extra
+
+
+def bench_mesh_arm(jax, jnp, pv, chained, N, log):
+    """Mesh-real MULTI-LINK row: an 8-link serial arm whose links are the
+    reference's actual probe/wrench meshes (auto-scaled to arm-segment size),
+    cached at res 0.02 / pad 1.0 — the mesh-real analog of the headline's
+    procedural capsule arm, making cache-build, per-link AABB spans, and
+    table sizes apples-to-apples with the reference's 8-link KUKA benchmark
+    (reference tests/test_model_to_sdf.py:46-48,182)."""
+    import numpy as np
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
+    from pytorch_volumetric_tpu.utils.robots import make_mesh_arm
+
+    srcs = ["/root/reference/tests/probe.obj",
+            "/root/reference/tests/offset_wrench_nogrip.obj"]
+    if not all(os.path.exists(s) for s in srcs):
+        return {}
+
+    d = os.path.join(BENCH_DIR, "mesh_arm")
+    urdf_path, end_link = make_mesh_arm(d, srcs, num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    t0 = time.perf_counter()
+    robot = pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.02, padding=1.0,
+            cache_path=os.path.join(BENCH_DIR, "sdf_cache_mesh_arm.npz")))
+    log(f"mesh arm (8 real-mesh links) cache ready in "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    # same sweep as the headline row (reference grid, 15,251 useful points)
+    query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
+    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    M = take_idx.shape[0]
+    rng = np.random.default_rng(2)
+    th0 = np.array([0.0, -np.pi / 4, 0.0, np.pi / 2, 0.0, np.pi / 4, 0.0],
+                   dtype=np.float32)
+    th = jnp.asarray(np.concatenate([th0[None],
+                                     th0 + rng.normal(0, 0.1, (N - 1, 7))]),
+                     dtype=jnp.float32)
+
+    children = tuple(robot.sdf.sdfs)
+    ft = coherent_fast_tables(children)
+
+    def query_sum(q, p, f):
+        m, m_inv = robot._link_transforms(q)
+        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
+                                      fast_tables=f)
+        return v.sum() + g.sum()
+
+    reps = chained.reps
+    extra = {}
+    fwd = chained(query_sum)
+    float(fwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(fwd(th, pts, ft))
+    fwd_s = (time.perf_counter() - t0) / reps
+    log(f"mesh arm forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> "
+        f"{N * M / fwd_s / 1e6:.1f}M queries/s")
+
+    bwd = chained(lambda q, p, f: jax.grad(
+        lambda qq: query_sum(qq, p, f))(q).sum())
+    float(bwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(bwd(th, pts, ft))
+    bwd_s = (time.perf_counter() - t0) / reps
+    log(f"mesh arm forward+backward: {bwd_s * 1e3:.2f} ms -> "
+        f"{N * M / bwd_s / 1e6:.1f}M queries/s")
+    extra["mesh_arm_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
+    extra["mesh_arm_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
     return extra
 
 

@@ -355,3 +355,47 @@ def test_winding_threshold_open_mesh(tmp_path):
     assert signs[0.3][1] < 0
     # strict threshold rejects even the dome interior (winding < 0.9 there)
     assert signs[0.9][0] > 0
+
+
+def test_mesh_arm_robot(tmp_path):
+    """8-link serial arm built from the reference's real probe/wrench meshes
+    (the mesh-real analog of the reference's 8-link KUKA benchmark robot,
+    reference tests/test_model_to_sdf.py:46-48,182): builds cached link SDFs,
+    answers batched queries that match the per-config loop, and conforms to
+    the coherent-sweep contract used by the benchmark."""
+    from pytorch_volumetric_tpu.utils.robots import make_mesh_arm
+
+    d = str(tmp_path / "mesh_arm")
+    urdf_path, end_link = make_mesh_arm(
+        d, [os.path.join(REF, "probe.obj"),
+            os.path.join(REF, "offset_wrench_nogrip.obj")], num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    robot = pv.RobotSDF(chain, path_prefix=d,
+                        link_sdf_cls=pv.cache_link_sdf_factory(
+                            resolution=0.04, padding=0.3,
+                            cache_path=str(tmp_path / "c.npz")))
+    assert len(robot.sdf.sdfs) == 8
+
+    rng = np.random.default_rng(0)
+    qs = jnp.asarray(rng.uniform(-0.4, 0.4, (4, 7)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+                      + np.array([0, 0, 0.5], dtype=np.float32))
+    robot.set_joint_configuration(qs)
+    vb, gb = robot(pts)
+    assert vb.shape == (4, 64) and np.isfinite(np.asarray(vb)).all()
+    # near the arm's spine some point should be close/inside, far ones not
+    assert float(vb.min()) < 0.15
+    for i in range(4):
+        robot.set_joint_configuration(qs[i])
+        vi, _ = robot(pts)
+        np.testing.assert_allclose(np.asarray(vb[i]), np.asarray(vi),
+                                   atol=1e-6)
+
+    # the benchmark's coherent sweep contract holds for this robot
+    robot.set_joint_configuration(qs)
+    cpts, take = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.4, 0.4], [0.0, 0.0], [0.0, 0.8]]))
+    assert robot.sdf.check_coherent_contract(cpts)
+    vc, gc = robot.sdf.query_coherent(cpts)
+    vg, gg = robot.sdf(cpts)
+    assert np.array_equal(np.asarray(vc), np.asarray(vg))
