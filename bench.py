@@ -105,12 +105,15 @@ def main():
     log(f"robot + link caches ready in {time.perf_counter() - t0:.1f}s")
 
     # reference query grid: 151 x 1 x 101 = 15,251 points.  The grid sweep is
-    # spatially coherent, so the segmented brick-gather fast path applies
-    # (query resolution 0.01 <= cache resolution 0.02 / 2); M counts only the
-    # useful (unpadded) queries.
+    # spatially coherent, so the tiled brick-gather fast path applies
+    # (query resolution 0.01 <= cache resolution 0.02 / 2 -> (4, 3) tiles,
+    # 12 points per brick gather); M counts only the useful (unpadded)
+    # queries.
     query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
-    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    pts, take_idx, seg = pv.get_coherent_tile_points(0.01, query_range,
+                                                     cache_resolution=0.02)
     M = take_idx.shape[0]
+    log(f"coherent tiles: seg={seg}, padded points {pts.shape[0]} (M={M})")
 
     N = 200
     rng = np.random.default_rng(0)
@@ -134,8 +137,14 @@ def main():
     def query_sum(q, pts, ft):
         m, m_inv = robot._link_transforms(q)
         v, g = compose_query_coherent(children, m, m_inv, q.shape[0], pts,
-                                      fast_tables=ft)
+                                      fast_tables=ft, seg=seg)
         return v.sum() + g.sum()
+
+    # the tile proof covers any rigid transform, but verify on the actual
+    # bench configurations anyway: a contract break would corrupt the
+    # measurement silently
+    robot.set_joint_configuration(th)
+    assert robot.sdf.check_coherent_contract(pts, seg=seg)
 
     reps = 10
 
@@ -244,7 +253,8 @@ def bench_real_mesh(jax, jnp, pv, chained, N, log):
     log(f"drill robot cache ready in {time.perf_counter() - t0:.1f}s")
 
     query_range = np.array([[-0.75, 0.75], [0.02, 0.02], [-0.5, 0.5]])
-    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    pts, take_idx, seg = pv.get_coherent_tile_points(0.01, query_range,
+                                                     cache_resolution=0.02)
     M = take_idx.shape[0]
     rng = np.random.default_rng(1)
     th = jnp.asarray(np.concatenate(
@@ -253,11 +263,13 @@ def bench_real_mesh(jax, jnp, pv, chained, N, log):
 
     children = tuple(robot.sdf.sdfs)
     ft = coherent_fast_tables(children)
+    robot.set_joint_configuration(th)
+    assert robot.sdf.check_coherent_contract(pts, seg=seg)
 
     def query_sum(q, p, f):
         m, m_inv = robot._link_transforms(q)
         v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
-                                      fast_tables=f)
+                                      fast_tables=f, seg=seg)
         return v.sum() + g.sum()
 
     reps = chained.reps  # the scan count baked into chained's closure
@@ -326,7 +338,8 @@ def bench_mesh_arm(jax, jnp, pv, chained, N, log):
 
     # same sweep as the headline row (reference grid, 15,251 useful points)
     query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
-    pts, take_idx = pv.get_coherent_grid_points(0.01, query_range)
+    pts, take_idx, seg = pv.get_coherent_tile_points(0.01, query_range,
+                                                     cache_resolution=0.02)
     M = take_idx.shape[0]
     rng = np.random.default_rng(2)
     th0 = np.array([0.0, -np.pi / 4, 0.0, np.pi / 2, 0.0, np.pi / 4, 0.0],
@@ -337,11 +350,13 @@ def bench_mesh_arm(jax, jnp, pv, chained, N, log):
 
     children = tuple(robot.sdf.sdfs)
     ft = coherent_fast_tables(children)
+    robot.set_joint_configuration(th)
+    assert robot.sdf.check_coherent_contract(pts, seg=seg)
 
     def query_sum(q, p, f):
         m, m_inv = robot._link_transforms(q)
         v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
-                                      fast_tables=f)
+                                      fast_tables=f, seg=seg)
         return v.sum() + g.sum()
 
     reps = chained.reps

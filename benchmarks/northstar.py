@@ -83,8 +83,12 @@ def main():
     side = args.points_side
     lo, res = -0.5, 0.01
     query_range = np.array([[lo, lo + res * (side - 1)]] * 3)
-    pts, take_idx = pv.get_coherent_grid_points(res, query_range)
+    # 3D sweep at the 2x ratio -> (3, 3, 3) tiles: 27 points per brick
+    # gather instead of 4 (6.75x fewer rows on the issue-rate-bound path)
+    pts, take_idx, seg = pv.get_coherent_tile_points(res, query_range,
+                                                     cache_resolution=0.02)
     M = take_idx.shape[0]
+    log(f"coherent tiles: seg={seg}, padded points {pts.shape[0]} (M={M})")
     N = args.configs
     rng = np.random.default_rng(0)
     th = jnp.asarray(rng.normal(0, 0.3, (N, n_dof)).astype(np.float32))
@@ -99,7 +103,7 @@ def main():
         def chunk_loss(q_chunk, p, ft):
             m, m_inv = robot._link_transforms(q_chunk)
             v, g = compose_query_coherent(children, m, m_inv, C, p,
-                                          fast_tables=ft)
+                                          fast_tables=ft, seg=seg)
             return v.sum() + g.sum()
 
         @jax.jit
@@ -120,7 +124,7 @@ def main():
             def per_chunk(qc):
                 m, m_inv = robot._link_transforms(qc)
                 return compose_query_coherent(children, m, m_inv, C, p,
-                                              fast_tables=ft,
+                                              fast_tables=ft, seg=seg,
                                               values_only=True).sum()
             return jax.lax.map(per_chunk, q.reshape(N // C, C, -1)).sum()
 

@@ -16,7 +16,8 @@ from pytorch_volumetric_tpu.sdf import (
 from pytorch_volumetric_tpu.voxel import (
     Voxels, VoxelGrid, VoxelSet, ExpandingVoxelGrid, GridView,
     get_divisible_range_by_resolution, get_coordinates_and_points_in_grid,
-    get_coherent_grid_points, voxel_down_sample, bounds_contain_another_bounds,
+    get_coherent_grid_points, get_coherent_tile_points, voxel_down_sample,
+    bounds_contain_another_bounds,
 )
 from pytorch_volumetric_tpu.volume import is_inside
 from pytorch_volumetric_tpu.transforms import (

@@ -51,7 +51,6 @@ class RobotSDF(sdf.ObjectFrameSDF):
         self.configuration_batch = None
         self._query_jit = None
         self._query_aux_treedef = None
-        self._query_grid_jit = None
 
         sdfs = []
         offsets = []
@@ -219,16 +218,19 @@ class RobotSDF(sdf.ObjectFrameSDF):
             or just ``val`` with ``values_only=True``
         """
         from pytorch_volumetric_tpu.voxel import (
-            get_coherent_grid_points, get_coordinates_and_points_in_grid)
+            get_coherent_tile_points, get_coordinates_and_points_in_grid)
 
         coords, _ = get_coordinates_and_points_in_grid(
             resolution, query_range, get_points=False)
         grid_shape = tuple(len(c) for c in coords)
 
-        # coherence contract: a collinear 4-point segment spans 3*resolution,
-        # which must be <= 1.5x every fast child's voxel resolution.  When a
-        # cached link is too fine, fall back to the generic per-point path —
-        # the brick path would silently return wrong values.
+        # coherence contract: a group of points must land in one 4x4x4 brick
+        # of every fast child; get_coherent_tile_points picks the largest
+        # tile that provably conforms at ratio min_cache_res / resolution
+        # (>= 2 required — 4-point lines at exactly 2, up to 27-point tiles
+        # for 3D sweeps).  When a cached link is too fine, fall back to the
+        # generic per-point path — the brick path would silently return
+        # wrong values.
         min_cache_res = min(
             (float(s.resolution) for s in self.sdf.sdfs
              if sdf._is_coherent_fast_child(s)), default=np.inf)
@@ -247,13 +249,17 @@ class RobotSDF(sdf.ObjectFrameSDF):
             return (vv.reshape(q_batch + grid_shape),
                     gg.reshape(q_batch + grid_shape + (3,)))
 
-        pts, take_idx = get_coherent_grid_points(resolution, query_range)
+        pts, take_idx, seg = get_coherent_tile_points(
+            resolution, query_range,
+            cache_resolution=None if np.isinf(min_cache_res)
+            else min_cache_res)
 
         q = as_float_array(joint_config)
         q_batch = q.shape[:-1]
         q_flat = (q.reshape(int(np.prod(q_batch)), 0) if q.shape[-1] == 0
                   else q.reshape(-1, q.shape[-1]))
-        cache_attr = "_query_grid_vjit" if values_only else "_query_grid_jit"
+        cache_attr = ("_query_grid_vjit" if values_only
+                      else "_query_grid_jit") + f"_s{seg}"
         if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)
 
@@ -263,7 +269,8 @@ class RobotSDF(sdf.ObjectFrameSDF):
                                               qf.shape[0], pf,
                                               fast_tables=fast_tables,
                                               values_only=values_only,
-                                              generic_aux=generic_aux)
+                                              generic_aux=generic_aux,
+                                              seg=seg)
 
             setattr(self, cache_attr, jax.jit(fn))
         out = getattr(self, cache_attr)(

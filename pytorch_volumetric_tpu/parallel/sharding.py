@@ -141,13 +141,16 @@ def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
 
 
 def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
-                                 values_only: bool = False) -> Callable:
+                                 values_only: bool = False,
+                                 seg: int = 4) -> Callable:
     """Like :func:`sharded_robot_query` but on the segmented brick-gather
     fast path (``compose_query_coherent``) for spatially-coherent point
-    sweeps.  ``P`` must divide into per-device chunks that are multiples of 4
-    so segments stay intact under the point-axis sharding (contiguous chunk
-    per device).  ``values_only=True`` returns just ``val [A, P]`` (gradients
-    stopped; ~2x faster — collision checks / occupancy rasters)."""
+    sweeps.  ``P`` must divide into per-device chunks that are multiples of
+    ``seg`` so point groups stay intact under the point-axis sharding
+    (contiguous chunk per device).  ``seg``: points per brick row — 4 for
+    raster lines, or the tile size from ``voxel.get_coherent_tile_points``.
+    ``values_only=True`` returns just ``val [A, P]`` (gradients stopped;
+    ~2x faster — collision checks / occupancy rasters)."""
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
                                             coherent_generic_aux,
                                             compose_query_coherent)
@@ -159,7 +162,7 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
         return compose_query_coherent(children, m, m_inv, q.shape[0], pts,
                                       fast_tables=fast_tables,
                                       values_only=values_only,
-                                      generic_aux=generic_aux)
+                                      generic_aux=generic_aux, seg=seg)
 
     val_sh = NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS))
     jitted = jax.jit(
@@ -176,17 +179,17 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
     n_pt = mesh.shape[POINT_AXIS]
 
     def run(q, pts):
-        # segments are 4 consecutive points; the point axis must split into
-        # equal contiguous per-device chunks of whole segments, or GSPMD
-        # would silently tear segments across device boundaries.
+        # groups are `seg` consecutive points; the point axis must split into
+        # equal contiguous per-device chunks of whole groups, or GSPMD
+        # would silently tear groups across device boundaries.
         n = pts.shape[0]
-        if n % n_pt != 0 or (n // n_pt) % 4 != 0:
+        if n % n_pt != 0 or (n // n_pt) % seg != 0:
             raise ValueError(
                 f"coherent sharding needs the point count ({n}) to split "
-                f"into per-device chunks that are multiples of 4 over the "
-                f"{n_pt}-way '{POINT_AXIS}' axis (got chunk "
+                f"into per-device chunks that are multiples of {seg} over "
+                f"the {n_pt}-way '{POINT_AXIS}' axis (got chunk "
                 f"{n / n_pt:g}); pad with pad_for_mesh(pts, mesh, "
-                f"POINT_AXIS, segment=4) to a multiple of {4 * n_pt}")
+                f"POINT_AXIS, segment={seg}) to a multiple of {seg * n_pt}")
         return jitted(q, pts, ft, ga)
 
     return run

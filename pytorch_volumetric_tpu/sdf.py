@@ -612,6 +612,19 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 # (32x the value grid in HBM, 8x the packed vg rows) so that any segment
 # whose integer keys span <= 2 voxels is guaranteed to land inside the brick
 # anchored at 2*floor(min_key/2).
+#
+# A "segment" is just a run of consecutive points sharing one brick — the
+# lookup only reshapes, so the group size generalizes beyond 4-point raster
+# lines to multi-dimensional TILES of grid points (one brick row per tile).
+# Containment under an arbitrary rigid link transform: a box tile with
+# (t_d - 1) steps of size r per dim has worst-case rotated per-axis span
+# r * ||t - 1||_2 (Cauchy-Schwarz over rotation-matrix rows), and integer
+# keys round(x / res) spanning sigma in world units fit a stride-2-anchored
+# 4-brick iff sigma < 2 * res.  So a tile conforms for EVERY rotation iff
+# ||t - 1||_2 < 2 * cache_res / r — at the standard ratio cache_res = 2r:
+# (4,) lines (the classic contract), (4, 3) tiles for 2D slices (12
+# points/row), (3, 3, 3) tiles for 3D sweeps (27 points/row).  See
+# voxel.get_coherent_tile_points.
 
 COHERENT_SEG = 4
 
@@ -657,30 +670,32 @@ class _CoherentTables(NamedTuple):
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
 
 
-def _coherent_union_values(smalls: Sequence[_CoherentTables]):
+def _coherent_union_values(smalls: Sequence[_CoherentTables],
+                           seg: int = COHERENT_SEG):
     """Value-only variant of :func:`_coherent_union_lookup`:
     ``values(pts_c [C, B, F, 3], bricks_list) -> val [B, F]``.  Skips the
     winner-row gradient gather and every gradient-side carry — measured ~2x
     faster at north-star scale — for inference-only sweeps (collision
     checks, occupancy rasters).  Not differentiable (callers stop
-    gradients)."""
+    gradients).  ``seg``: points per brick row (line segment or tile
+    size — see the module comment above COHERENT_SEG)."""
     with jax.ensure_compile_time_eval():
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
 
     def values(pts_c, bricks_list):
         B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // COHERENT_SEG
+        FS = F // seg
         best_v = None
         for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
-            ks = kc.reshape(B, FS, COHERENT_SEG, 3)
+            ks = kc.reshape(B, FS, seg, 3)
             corner2 = ks.min(axis=2) // 2
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
-            seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
+            seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
             # bricks carry (value, grad) per cell; channel 0 is the value
             rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)[..., 0]
@@ -697,7 +712,8 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables]):
 
 
 def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
-                           brick_sd: Sequence[tuple]):
+                           brick_sd: Sequence[tuple],
+                           seg: int = COHERENT_SEG):
     """Returns a custom-VJP function ``lookup(pts_c [C, B, F, 3],
     bricks_list) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
     evaluating the min-union of the cached children with brick gathers;
@@ -730,14 +746,14 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
 
     def eval_union(pts_c, bricks_list):
         B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // COHERENT_SEG
+        FS = F // seg
         best_v = best_g = best_i = None
         for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
-            ks = kc.reshape(B, FS, COHERENT_SEG, 3)
+            ks = kc.reshape(B, FS, seg, 3)
             corner2 = ks.min(axis=2) // 2                      # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
             # segments with no in-bounds point all read brick 0: the gathered
@@ -746,7 +762,7 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             # link caches are small vs the query grid, so MOST (link, segment)
             # pairs take this lane (same trick as the generic path's
             # gather_nearest row-0 redirect).
-            seg_valid = jnp.any(valid.reshape(B, FS, COHERENT_SEG), axis=2)
+            seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
             rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)
             off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
@@ -812,15 +828,19 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                            obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
                            batch: int, points: jnp.ndarray,
                            fast_tables=None, values_only: bool = False,
-                           generic_aux=None):
+                           generic_aux=None, seg: int = COHERENT_SEG):
     """Min-union query like :func:`compose_query` but using the segmented
     brick-gather fast path for ``CachedSDF`` children.
 
-    Contract: ``points [F, 3]`` with ``F % 4 == 0`` and every consecutive
-    quadruple spanning at most ``1.5 * resolution`` per dimension in world
-    units (rigid transforms preserve this).  Use
-    :func:`pytorch_volumetric_tpu.voxel.get_coherent_grid_points` to build a
-    conforming raster; results are bit-identical to :func:`compose_query`.
+    Contract: ``points [F, 3]`` with ``F % seg == 0`` and every consecutive
+    ``seg``-point group's integer voxel keys landing inside one
+    stride-2-anchored 4x4x4 brick for every cached child (for raster lines
+    at ``seg=4`` that is spans of at most ``1.5 * resolution`` per dimension
+    in world units; rigid transforms preserve this).  Use
+    :func:`pytorch_volumetric_tpu.voxel.get_coherent_grid_points` (lines,
+    ``seg=4``) or :func:`pytorch_volumetric_tpu.voxel.
+    get_coherent_tile_points` (multi-dim tiles, larger ``seg``) to build a
+    conforming layout; results are bit-identical to :func:`compose_query`.
 
     Children that are not nearest-neighbor BOUNDING_BOX ``CachedSDF``\\ s
     (analytic primitives, ``MeshSDF``, trilinear/GT-fallback caches) are
@@ -841,8 +861,8 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     """
     S = len(children)
     F = points.shape[0]
-    if F % COHERENT_SEG:
-        raise ValueError(f"points count {F} must be a multiple of {COHERENT_SEG}")
+    if F % seg:
+        raise ValueError(f"points count {F} must be a multiple of seg={seg}")
     pts_all = tfm.transform_points(obj_to_link, points).reshape(S, batch, F, 3)
     R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
 
@@ -888,7 +908,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         with jax.ensure_compile_time_eval():
             smalls = [children[i]._coherent_tables() for i in fast]
         if values_only:
-            values = _coherent_union_values(smalls)
+            values = _coherent_union_values(smalls, seg=seg)
             best_v = values(
                 jax.lax.stop_gradient(jnp.stack([pts_all[i] for i in fast])),
                 tuple(t.bricks for t in tables))
@@ -899,7 +919,8 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
         lookup = _coherent_union_lookup(
-            smalls, [(t.bricks.shape, t.bricks.dtype) for t in tables])
+            smalls, [(t.bricks.shape, t.bricks.dtype) for t in tables],
+            seg=seg)
         val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
                                  tuple(t.bricks for t in tables))
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
@@ -941,8 +962,7 @@ class ComposedSDF(ObjectFrameSDF):
         self.link_frame_to_obj_frame: Optional[jnp.ndarray] = None
         self.tsf_batch = None
         self._compose_jit = None
-        self._coherent_jit = None
-        self._coherent_vjit = None
+        self._coherent_jits = {}  # (values_only, seg) -> jitted program
         self.set_transforms(obj_frame_to_each_frame)
 
     def set_transforms(self, tsf: Optional[tfm.Transform3d], batch_dim=None):
@@ -958,8 +978,7 @@ class ComposedSDF(ObjectFrameSDF):
             self.link_frame_to_obj_frame = tfm.invert_tf(tsf.get_matrix())
         if prev_batch != self.tsf_batch:
             self._compose_jit = None  # batch size is a static arg: re-jit
-            self._coherent_jit = None
-            self._coherent_vjit = None
+            self._coherent_jits = {}
 
     def ith_transform_slice(self, i):
         if self.tsf_batch is None:
@@ -1006,16 +1025,17 @@ class ComposedSDF(ObjectFrameSDF):
             vv, gg = vv[0], gg[0]
         return vv.reshape(out_batch), gg.reshape(out_batch + (pts.shape[-1],))
 
-    def check_coherent_contract(self, points_in_object_frame) -> bool:
-        """True iff every 4-point segment of ``points`` lands inside its
-        4x4x4 brick for every cached child under the current transforms (the
-        correctness precondition of :meth:`query_coherent`).  Host-side debug
-        helper — an analog of the reference's ``debug_check_sdf``
-        (reference sdf.py:573-590)."""
+    def check_coherent_contract(self, points_in_object_frame,
+                                seg: int = COHERENT_SEG) -> bool:
+        """True iff every consecutive ``seg``-point group of ``points`` lands
+        inside its 4x4x4 brick for every cached child under the current
+        transforms (the correctness precondition of :meth:`query_coherent`).
+        Host-side debug helper — an analog of the reference's
+        ``debug_check_sdf`` (reference sdf.py:573-590)."""
         pts = as_float_array(points_in_object_frame)
         m = self.obj_frame_to_link_frame.get_matrix()
         S, B, F = len(self.sdfs), self._batch, pts.shape[0]
-        if F % COHERENT_SEG:
+        if F % seg:
             return False
         pts_all = np.asarray(tfm.transform_points(m, pts)).reshape(S, B, F, 3)
         for i, s in enumerate(self.sdfs):
@@ -1029,30 +1049,34 @@ class ComposedSDF(ObjectFrameSDF):
             n = np.asarray(s.voxels.shape)
             k = np.round((pts_all[i] - lo) / res)
             kc = np.clip(k, 0, n - 1).astype(np.int64)
-            ks = kc.reshape(B, F // COHERENT_SEG, COHERENT_SEG, 3)
+            ks = kc.reshape(B, F // seg, seg, 3)
             corner = 2 * (ks.min(axis=2) // 2)
             if (ks.max(axis=2) - corner).max() > 3:
                 return False
         return True
 
     def query_coherent(self, points_in_object_frame, debug_check=False,
-                       values_only: bool = False):
+                       values_only: bool = False, seg: int = COHERENT_SEG):
         """Like ``__call__`` but on spatially-coherent points (consecutive
-        quadruples spanning <= 1.5 x cache resolution per dim; see
-        :func:`compose_query_coherent`).  Bit-identical results, ~3.5x fewer
-        gather rows for cached children on TPU.  Points must be flat
-        ``[F, 3]`` with ``F % 4 == 0``.  ``debug_check=True`` verifies the
+        groups of ``seg`` points each landing in one 4x4x4 voxel brick; see
+        :func:`compose_query_coherent`).  Bit-identical results, ``seg``-x
+        fewer gather rows for cached children on TPU.  Points must be flat
+        ``[F, 3]`` with ``F % seg == 0``.  ``debug_check=True`` verifies the
         coherence contract on host first and raises on violation.
         ``values_only=True`` returns just the values (~2x faster at scale;
-        gradients stopped — inference only)."""
+        gradients stopped — inference only).  ``seg``: points per brick row —
+        4 for classic raster lines (:func:`voxel.get_coherent_grid_points`),
+        or the tile size returned by :func:`voxel.get_coherent_tile_points`
+        for multi-dimensional tiles (12/27 at the standard 2x ratio)."""
         pts = as_float_array(points_in_object_frame)
-        if debug_check and not self.check_coherent_contract(pts):
+        if debug_check and not self.check_coherent_contract(pts, seg=seg):
             raise ValueError(
-                "points violate the coherence contract (a 4-point segment "
+                f"points violate the coherence contract (a {seg}-point group "
                 "spans more than its 4x4x4 voxel brick for some cached child); "
-                "use get_coherent_grid_points or the generic __call__ path")
-        cache_attr = "_coherent_vjit" if values_only else "_coherent_jit"
-        if getattr(self, cache_attr, None) is None:
+                "use get_coherent_grid_points / get_coherent_tile_points or "
+                "the generic __call__ path")
+        key = (bool(values_only), int(seg))
+        if self._coherent_jits.get(key) is None:
             children = tuple(self.sdfs)
             B = self._batch
 
@@ -1060,13 +1084,14 @@ class ComposedSDF(ObjectFrameSDF):
                 return compose_query_coherent(children, m, m_inv, B, points,
                                               fast_tables=fast_tables,
                                               values_only=values_only,
-                                              generic_aux=generic_aux)
+                                              generic_aux=generic_aux,
+                                              seg=seg)
 
-            setattr(self, cache_attr, jax.jit(fn))
+            self._coherent_jits[key] = jax.jit(fn)
         # brick tables AND generic children's big tables ride in as
         # arguments, not captured constants (constants at that scale cost
         # minutes of compile per retrace)
-        out = getattr(self, cache_attr)(
+        out = self._coherent_jits[key](
             pts, self.obj_frame_to_link_frame.get_matrix(),
             self.link_frame_to_obj_frame, coherent_fast_tables(self.sdfs),
             coherent_generic_aux(self.sdfs))

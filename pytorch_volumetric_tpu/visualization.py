@@ -48,10 +48,14 @@ def draw_sdf_slice(s: sdf_mod.ObjectFrameSDF, query_range, resolution=0.01,
     # sweep resolution fine enough); identical values, ~3.5x fewer gathers
     take_idx = None
     if hasattr(s, "query_coherent"):
-        pts_c, take_idx = voxel.get_coherent_grid_points(resolution, query_range)
+        from pytorch_volumetric_tpu.sdf import _is_coherent_fast_child
+        min_res = min((float(c.resolution) for c in getattr(s, "sdfs", ())
+                       if _is_coherent_fast_child(c)), default=None)
+        pts_c, take_idx, seg = voxel.get_coherent_tile_points(
+            resolution, query_range, cache_resolution=min_res)
         pts_c = pts_c + jax.random.normal(key, pts_c.shape,
                                           dtype=pts_c.dtype) * 1e-6
-        if not s.check_coherent_contract(pts_c):
+        if not s.check_coherent_contract(pts_c, seg=seg):
             take_idx = None
     dim_labels = ["x", "y", "z"]
     slice_dim = None
@@ -66,7 +70,7 @@ def draw_sdf_slice(s: sdf_mod.ObjectFrameSDF, query_range, resolution=0.01,
     shown_dims = [i for i in range(3) if i != slice_dim]
 
     if take_idx is not None:
-        v_c, g_c = s.query_coherent(pts_c)
+        v_c, g_c = s.query_coherent(pts_c, seg=seg)
         sdf_val, sdf_grad = v_c[..., take_idx], g_c[..., take_idx, :]
         # return the points the values were ACTUALLY evaluated at (the
         # coherent layout drew its own jitter); keeps the reference's

@@ -284,3 +284,70 @@ def test_mixed_fast_generic_tie_break(tmp_path):
     assert int(np.sum(np.asarray(v_p) == np.asarray(v_1))) > 100
     assert np.array_equal(np.asarray(v_c), np.asarray(v_g))
     assert np.array_equal(np.asarray(g_c), np.asarray(g_g))
+
+
+def test_tile_points_construction():
+    """get_coherent_tile_points: seg picks the provably-safe tile (4 in 1D,
+    12 in 2D, 27 in 3D at the standard 2x ratio; larger at bigger ratios),
+    and pts[take_idx] reproduces raster order."""
+    r1 = np.array([[0.0, 0.0], [0.0, 0.0], [-0.1, 0.2]])
+    r2 = np.array([[-0.3, 0.3], [0.0, 0.0], [-0.1, 0.2]])
+    r3 = np.array([[-0.1, 0.1], [-0.1, 0.15], [-0.1, 0.2]])
+    for rng_pd, want_seg in ((r1, 4), (r2, 12), (r3, 27)):
+        pts, take, seg = pv.get_coherent_tile_points(0.02, rng_pd)
+        assert seg == want_seg
+        assert pts.shape[0] % seg == 0
+        _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, rng_pd)
+        np.testing.assert_allclose(np.asarray(pts)[take], np.asarray(pts_g))
+    # larger cache/query ratio allows a bigger tile
+    _, _, seg4 = pv.get_coherent_tile_points(0.01, r3, cache_resolution=0.04)
+    assert seg4 > 27
+
+
+def test_tile_query_equals_generic(robot):
+    """Tiled coherent path (seg=12 on a 2D slice, 27 on a 3D block) is
+    bit-identical to the generic path on CPU, under arbitrary rotated link
+    transforms at the standard 2x cache/query ratio."""
+    q = _configs()
+    robot.set_joint_configuration(q)
+    for rng_pd in (np.array([[-0.6, 0.3], [0.01, 0.01], [-0.3, 0.7]]),
+                   np.array([[-0.3, 0.2], [-0.15, 0.2], [-0.1, 0.5]])):
+        pts_t, take, seg = pv.get_coherent_tile_points(
+            0.02, rng_pd, cache_resolution=0.04)
+        assert seg in (12, 27)
+        # the safety proof says the contract holds for ANY rigid transform
+        assert robot.sdf.check_coherent_contract(pts_t, seg=seg)
+        _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, rng_pd)
+        v_gen, g_gen = robot.sdf(pts_g)
+        v_t, g_t = robot.sdf.query_coherent(pts_t, seg=seg, debug_check=True)
+        if jax.default_backend() == "cpu":
+            np.testing.assert_array_equal(np.asarray(v_t)[:, take],
+                                          np.asarray(v_gen))
+            np.testing.assert_array_equal(np.asarray(g_t)[:, take],
+                                          np.asarray(g_gen))
+        else:
+            np.testing.assert_allclose(np.asarray(v_t)[:, take],
+                                       np.asarray(v_gen), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(g_t)[:, take],
+                                       np.asarray(g_gen), atol=1e-5)
+        # values_only variant agrees too
+        v_vo = robot.sdf.query_coherent(pts_t, seg=seg, values_only=True)
+        np.testing.assert_array_equal(np.asarray(v_vo), np.asarray(v_t))
+
+
+def test_tile_contract_rejects_oversized_tiles(robot):
+    """A tile too large for the brick (seg grouping that spans > 2 voxels
+    after clipping) must fail check_coherent_contract instead of silently
+    corrupting: build tiles as if the cache were 2x coarser than it is."""
+    q = _configs()
+    robot.set_joint_configuration(q)
+    rng_pd = np.array([[-0.3, 0.2], [-0.15, 0.2], [-0.1, 0.5]])
+    # pretend cache res is 0.08 -> chooser picks a tile whose span breaks
+    # the REAL 0.04 grid's brick containment
+    pts_t, take, seg = pv.get_coherent_tile_points(
+        0.02, rng_pd, cache_resolution=0.08)
+    assert seg > 27
+    assert not robot.sdf.check_coherent_contract(pts_t, seg=seg)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="coherence contract"):
+        robot.sdf.query_coherent(pts_t, seg=seg, debug_check=True)

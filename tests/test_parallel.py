@@ -194,6 +194,23 @@ def test_sharded_robot_query_coherent_matches_single(tmp_path):
     assert v_vo.shape == v_sh.shape
     np.testing.assert_allclose(np.asarray(v_vo), np.asarray(v_sh), atol=1e-6)
 
+    # tiled variant (seg > 4): same values as the generic path on the
+    # overlapping original points
+    pts_t, take_t, seg_t = pv.get_coherent_tile_points(
+        0.02, np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]]),
+        cache_resolution=0.04)
+    assert seg_t == 12
+    pts_t, orig_t = parallel.pad_for_mesh(pts_t, mesh, parallel.POINT_AXIS,
+                                          segment=seg_t)
+    tfn = parallel.sharded_robot_query_coherent(robot, mesh, seg=seg_t)
+    v_t, g_t = tfn(q, pts_t)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(
+        0.02, np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]]))
+    robot.set_joint_configuration(q)
+    v_ref2, _ = robot(pts_g)
+    np.testing.assert_allclose(np.asarray(v_t[:, :orig_t])[:, take_t],
+                               np.asarray(v_ref2), atol=1e-5)
+
     # precondition enforced: a point count whose per-device chunk is not a
     # multiple of 4 must fail loudly (12 pts over 2 devices -> chunk 6)
     import pytest
