@@ -351,3 +351,23 @@ def test_tile_contract_rejects_oversized_tiles(robot):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="coherence contract"):
         robot.sdf.query_coherent(pts_t, seg=seg, debug_check=True)
+
+
+def test_composed_get_voxel_view_uses_tiles(robot):
+    """ComposedSDF.get_voxel_view's tiled rasterization returns exactly the
+    generic path's values (unbatched transforms)."""
+    from pytorch_volumetric_tpu.voxel import VoxelGrid
+
+    q = _configs(1, 3)[0]
+    robot.set_joint_configuration(q)
+    s = robot.sdf
+    vg = VoxelGrid(0.02, np.array([[-0.3, 0.2], [-0.1, 0.1], [-0.1, 0.4]]))
+    view = s.get_voxel_view(vg)
+    pts = vg.get_voxel_center_points()
+    v_ref, _ = s(pts)
+    shape = [len(c) for c in vg.coords]
+    np.testing.assert_array_equal(np.asarray(view.raw_data),
+                                  np.asarray(v_ref).reshape(shape))
+    # the out-of-grid fallback callable still answers
+    far = jnp.array([[5.0, 5.0, 5.0]])
+    assert float(view.invalid_value(far)[0]) > 1.0
