@@ -89,7 +89,18 @@ def main():
     import pytorch_volumetric_tpu as pv
     from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
-    devices = jax.devices()
+    try:
+        devices = jax.devices()
+    except RuntimeError as e:
+        # the tunnel dropped between the probe and this init (or the probe
+        # was skipped): still emit a machine-readable artifact, never die
+        # with no output
+        print(json.dumps({
+            "metric": METRIC, "value": 0.0,
+            "unit": "config-point queries/s (200 configs x 15251 pts, 8 cached links)",
+            "vs_baseline": 0.0, "error": "tpu_unavailable",
+            "extra": {"init_error": str(e)[:200]}}))
+        return
     log(f"devices: {devices}")
     os.makedirs(BENCH_DIR, exist_ok=True)
     arm_dir = os.path.join(BENCH_DIR, "arm")

@@ -352,8 +352,14 @@ def weld_vertices(mesh: TriangleMesh, tolerance: float) -> TriangleMesh:
         from scipy.sparse import coo_matrix
         from scipy.sparse.csgraph import connected_components
         from scipy.spatial import cKDTree
-        n = v.shape[0]
-        pairs = cKDTree(v).query_pairs(tolerance, output_type="ndarray")
+        # exact-duplicate dedup FIRST: triangle soups (STL) repeat each
+        # vertex once per incident face, and query_pairs is O(k^2) pairs per
+        # k-fold duplicate cluster — deduping bounds that at distinct
+        # positions only
+        uniq_v, uniq_first, uniq_inv = np.unique(
+            v, axis=0, return_index=True, return_inverse=True)
+        n = uniq_v.shape[0]
+        pairs = cKDTree(uniq_v).query_pairs(tolerance, output_type="ndarray")
         if pairs.shape[0]:
             adj = coo_matrix((np.ones(pairs.shape[0]),
                               (pairs[:, 0], pairs[:, 1])), shape=(n, n))
@@ -361,9 +367,13 @@ def weld_vertices(mesh: TriangleMesh, tolerance: float) -> TriangleMesh:
         else:
             labels = np.arange(n)
         ncomp = int(labels.max()) + 1 if n else 0
-        first = np.full(ncomp, n, dtype=np.int64)
-        np.minimum.at(first, labels, np.arange(n))
-        welded = TriangleMesh(v[first], labels[mesh.faces].astype(np.int32))
+        # representative = lowest ORIGINAL index in each component, so the
+        # output is stable w.r.t. the input ordering
+        first = np.full(ncomp, v.shape[0], dtype=np.int64)
+        np.minimum.at(first, labels, uniq_first)
+        labels_full = labels[uniq_inv]
+        welded = TriangleMesh(v[first],
+                              labels_full[mesh.faces].astype(np.int32))
     else:
         _, first, inv = np.unique(v, axis=0, return_index=True,
                                   return_inverse=True)

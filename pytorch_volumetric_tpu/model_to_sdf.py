@@ -231,9 +231,9 @@ class RobotSDF(sdf.ObjectFrameSDF):
         # for 3D sweeps).  When a cached link is too fine, fall back to the
         # generic per-point path — the brick path would silently return
         # wrong values.
-        min_cache_res = min(
-            (float(s.resolution) for s in self.sdf.sdfs
-             if sdf._is_coherent_fast_child(s)), default=np.inf)
+        min_cache_res = sdf.coherent_min_cache_resolution(self.sdf.sdfs)
+        if min_cache_res is None:
+            min_cache_res = np.inf  # no fast children: any layout conforms
         if 2.0 * resolution > min_cache_res:
             logger.info(
                 "query_grid: sweep resolution %.4g too coarse for cached "

@@ -89,7 +89,11 @@ class ObjectFactory(abc.ABC):
         # classify more space "inside" an open shell, raise it for less.
         self.winding_threshold = winding_threshold
         # merge vertices within this distance at load: triangle soups and
-        # unwelded exports then present closed connectivity to the winding
+        # unwelded exports then present closed connectivity to the winding.
+        # UNITS: on the file-load path welding runs before scale/vis-frame
+        # framing (file units); for a directly passed `mesh` (already in
+        # object units by definition) the tolerance applies as-is — divide
+        # by `scale` yourself if you want file-unit semantics there
         self.weld_tolerance = weld_tolerance
 
         if mesh is not None and weld_tolerance is not None:
@@ -659,6 +663,17 @@ def _is_coherent_fast_child(s) -> bool:
             and s.interpolation == "nearest")
 
 
+def coherent_min_cache_resolution(children) -> Optional[float]:
+    """Smallest voxel resolution among the coherent-fast children of
+    ``children``, or ``None`` when there are none — the ``cache_resolution``
+    to hand :func:`voxel.get_coherent_tile_points` when building a tiled
+    sweep over these children (the ONE definition of 'which ratio governs
+    tile safety'; every tile-path consumer must use it)."""
+    vals = [float(s.resolution) for s in children
+            if _is_coherent_fast_child(s)]
+    return min(vals) if vals else None
+
+
 class _CoherentTables(NamedTuple):
     lo: jnp.ndarray        # [3] grid origin
     res: jnp.ndarray       # [3] voxel size
@@ -724,9 +739,10 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
     The brick rows carry all four (value, grad) channels per cell, so the
     per-point gradient falls out of the same one-hot contraction as the
     value — the value+gradient path issues exactly the brick rows and
-    nothing else (one row per (child, 4-point segment); no winner-row
+    nothing else (one row per (child, ``seg``-point group); no winner-row
     gather).  At the measured ~170M rows/s TPU gather issue rate this is
-    the roofline for the cached union: C/4 rows per point.
+    the roofline for the cached union: C/seg rows per point (seg = 4 for
+    raster lines, 12/27 for 2D/3D tiles at the standard 2x ratio).
 
     Only ``smalls``' tiny fields (lo/res/n/strides/bstrides/bb) are used —
     they MUST be concrete (their arithmetic has to constant-fold exactly
@@ -1120,16 +1136,17 @@ class ComposedSDF(ObjectFrameSDF):
         if self.tsf_batch is not None:
             # batched transforms: keep the generic base behavior/shape rules
             return super().get_voxel_view(voxels, dtype=dtype, device=device)
-        min_res = min((float(s.resolution) for s in self.sdfs
-                       if _is_coherent_fast_child(s)), default=None)
-        pts_t, take, seg = get_coherent_tile_points(
-            voxels.resolution, voxels.range_per_dim, cache_resolution=min_res)
         shape = [len(c) for c in voxels.coords]
-        if min_res is not None and self.check_coherent_contract(pts_t,
-                                                                seg=seg):
-            vals = self.query_coherent(pts_t, seg=seg,
-                                       values_only=True)[take]
-        else:
+        min_res = coherent_min_cache_resolution(self.sdfs)
+        vals = None
+        if min_res is not None:  # only build the tile layout when usable
+            pts_t, take, seg = get_coherent_tile_points(
+                voxels.resolution, voxels.range_per_dim,
+                cache_resolution=min_res)
+            if self.check_coherent_contract(pts_t, seg=seg):
+                vals = self.query_coherent(pts_t, seg=seg,
+                                           values_only=True)[take]
+        if vals is None:
             vals, _ = self(voxels.get_voxel_center_points())
         return GridView(vals.reshape(shape), voxels.range_per_dim,
                         invalid_value=lambda p: self(p)[0])

@@ -48,9 +48,8 @@ def draw_sdf_slice(s: sdf_mod.ObjectFrameSDF, query_range, resolution=0.01,
     # sweep resolution fine enough); identical values, ~3.5x fewer gathers
     take_idx = None
     if hasattr(s, "query_coherent"):
-        from pytorch_volumetric_tpu.sdf import _is_coherent_fast_child
-        min_res = min((float(c.resolution) for c in getattr(s, "sdfs", ())
-                       if _is_coherent_fast_child(c)), default=None)
+        from pytorch_volumetric_tpu.sdf import coherent_min_cache_resolution
+        min_res = coherent_min_cache_resolution(getattr(s, "sdfs", ()))
         pts_c, take_idx, seg = voxel.get_coherent_tile_points(
             resolution, query_range, cache_resolution=min_res)
         pts_c = pts_c + jax.random.normal(key, pts_c.shape,

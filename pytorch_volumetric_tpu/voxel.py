@@ -102,7 +102,9 @@ def _tile_shape(sizes, rho):
     from itertools import product as iproduct
     active = [i for i, s in enumerate(sizes) if s > 1]
     limit = (2.0 * rho) ** 2 - 1e-9
-    best = None
+    # the all-ones tile is always admissible (a single point spans nothing),
+    # so degenerate ratios (rho ~ 0) degrade to seg=1 instead of crashing
+    best = ((1, 0.0), (1,) * len(active))
     for combo in iproduct(range(1, 9), repeat=len(active)):
         if sum((t - 1) ** 2 for t in combo) >= limit:
             continue

@@ -371,3 +371,14 @@ def test_composed_get_voxel_view_uses_tiles(robot):
     # the out-of-grid fallback callable still answers
     far = jnp.array([[5.0, 5.0, 5.0]])
     assert float(view.invalid_value(far)[0]) > 1.0
+
+
+def test_tile_shape_degenerate_ratio_falls_back():
+    """A degenerate cache/query ratio (rho ~ 0) degrades to seg=1 instead of
+    crashing, and tiny ratios below 2 shrink the tile."""
+    pts, take, seg = pv.get_coherent_tile_points(
+        0.02, np.array([[-0.1, 0.1]] * 3), cache_resolution=0.0)
+    assert seg == 1
+    _, pts_g = pv.get_coordinates_and_points_in_grid(
+        0.02, np.array([[-0.1, 0.1]] * 3))
+    np.testing.assert_allclose(np.asarray(pts)[take], np.asarray(pts_g))

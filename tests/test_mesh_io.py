@@ -243,3 +243,21 @@ def test_ply_property_order_robustness(tmp_path):
     got2 = m.read_triangle_mesh(p2)
     assert np.allclose(got2.vertices, verts)
     assert np.array_equal(got2.faces, [[0, 1, 2]])
+
+
+def test_weld_large_duplicate_cluster():
+    """Exact duplicates are deduped before the KD-tree pair query, so a
+    vertex repeated k times (triangle-fan soups) cannot blow up into
+    O(k^2) pairs; connectivity is still correct."""
+    k = 5000
+    apex = np.zeros((k, 3))
+    rim = np.stack([np.cos(np.linspace(0, 6.28, k)),
+                    np.sin(np.linspace(0, 6.28, k)),
+                    np.ones(k)], axis=1)
+    v = np.concatenate([apex, rim, rim + [0.5, 0, 0]])
+    f = np.stack([np.arange(k), k + np.arange(k), 2 * k + np.arange(k)],
+                 axis=1).astype(np.int32)
+    w = m.weld_vertices(m.TriangleMesh(v, f), 1e-9)
+    # all k apex copies merge to one vertex; rim points stay distinct
+    assert w.vertices.shape[0] == 1 + 2 * k
+    assert (w.faces[:, 0] == w.faces[0, 0]).all()
