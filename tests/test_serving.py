@@ -86,3 +86,39 @@ def test_loaded_artifact_differentiable(robot, tmp_path):
     gq_ref = jax.grad(lambda qq: robot.query(qq, pts)[0].sum())(q)
     assert gq.shape == (2, 3)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), atol=1e-5)
+
+
+def test_export_grid_query_roundtrip(robot, tmp_path):
+    """Grid-sweep (collision field) export: loaded artifact reproduces
+    query_grid exactly, value+grad and values-only variants."""
+    from pytorch_volumetric_tpu.utils.serving import (
+        export_robot_grid_query, load_robot_grid_query)
+
+    qr = np.array([[-0.3, 0.1], [0.0, 0.0], [-0.1, 0.3]])
+    path = str(tmp_path / "grid.bin")
+    export_robot_grid_query(robot, n_configs=3, query_range=qr,
+                            resolution=0.025, path=path)
+    query = load_robot_grid_query(path)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3)).astype(np.float32))
+    v, g = query(q)
+    v_ref, g_ref = robot.query_grid(q, qr, 0.025)
+    assert v.shape == v_ref.shape and g.shape == g_ref.shape
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+    # differentiable on the consumer side (vjp_order=1)
+    gq = jax.grad(lambda qq: query(qq)[0].sum())(q)
+    assert np.isfinite(np.asarray(gq)).all()
+
+    # values-only variant
+    path_v = str(tmp_path / "grid_v.bin")
+    export_robot_grid_query(robot, n_configs=3, query_range=qr,
+                            resolution=0.025, path=path_v, values_only=True)
+    v_only = load_robot_grid_query(path_v)(q)
+    np.testing.assert_array_equal(np.asarray(v_only), np.asarray(v))
+
+    # too-coarse sweep is rejected at export time
+    with pytest.raises(ValueError, match="too coarse"):
+        export_robot_grid_query(robot, n_configs=3, query_range=qr,
+                                resolution=0.05, path=str(tmp_path / "x.bin"))
