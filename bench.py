@@ -231,7 +231,7 @@ def main():
     # failure (or slow cold build) in these optional sections, and reprint
     # the accumulated JSON after each so a kill between sections keeps
     # everything measured so far
-    for section in (bench_real_mesh, bench_mesh_arm):
+    for section in (bench_real_mesh, bench_mesh_arm, bench_cull):
         try:
             extra = section(jax, jnp, pv, chained, N, log)
         except Exception as e:  # noqa: BLE001 - diagnostic row instead of death
@@ -399,6 +399,106 @@ def bench_mesh_arm(jax, jnp, pv, chained, N, log):
         f"{N * M / bwd_s / 1e6:.1f}M queries/s")
     extra["mesh_arm_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
     extra["mesh_arm_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
+    return extra
+
+
+def bench_cull(jax, jnp, pv, chained, N, log):
+    """Tight-cache culling A/B row.  Under the reference benchmark's
+    padding=1.0 every link grid covers the whole query range (measured
+    in-bounds (link, tile) fraction 0.99), so per-(link, tile) gather
+    culling cannot help the headline — the dense path is already at the
+    row-count roofline there.  This row rebuilds the same arm with
+    padding=0.1 (tight link grids, the realistic deployment shape where
+    most pairs ARE out of bounds) and measures dense vs culled
+    (``cull=``) on the same sweep."""
+    import numpy as np
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            coherent_packed_bricks,
+                                            compose_query_coherent)
+    from pytorch_volumetric_tpu.transforms import transform_points
+    from pytorch_volumetric_tpu.utils.robots import make_serial_arm
+
+    arm_dir = os.path.join(BENCH_DIR, "arm")
+    urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    t0 = time.perf_counter()
+    robot = pv.RobotSDF(
+        chain, path_prefix=arm_dir,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.02, padding=0.1,
+            cache_path=os.path.join(BENCH_DIR, "sdf_cache_tight.npz")))
+    log(f"tight-cache arm (padding 0.1) ready in {time.perf_counter() - t0:.1f}s")
+
+    query_range = np.array([[-1.0, 0.5], [0.02, 0.02], [-0.2, 0.8]])
+    pts, take_idx, seg = pv.get_coherent_tile_points(0.01, query_range,
+                                                     cache_resolution=0.02)
+    M = take_idx.shape[0]
+    rng = np.random.default_rng(0)
+    th0 = np.array([0.0, -np.pi / 4, 0.0, np.pi / 2, 0.0, np.pi / 4, 0.0],
+                   dtype=np.float32)
+    th = jnp.asarray(np.concatenate([th0[None],
+                                     th0 + rng.normal(0, 0.1, (N - 1, 7))]),
+                     dtype=jnp.float32)
+    children = tuple(robot.sdf.sdfs)
+    ft = coherent_fast_tables(children)
+    packed = coherent_packed_bricks(children)
+
+    # measure the true in-bounds fraction on an 8-config host-side subset to
+    # pick the budget (the in-graph dense fallback keeps an under-budget
+    # miss correct, just slow — and visibly so in the A/B numbers)
+    robot.set_joint_configuration(th[:8])
+    assert robot.sdf.check_coherent_contract(pts, seg=seg)
+    m8 = robot.sdf.obj_frame_to_link_frame.get_matrix()
+    S, F = len(children), pts.shape[0]
+    pa = np.asarray(transform_points(m8, pts)).reshape(S, 8, F, 3)
+    nv = nt = 0
+    for i, s in enumerate(children):
+        lo = np.asarray(s.voxels.lo, np.float32)
+        res = np.asarray(s.voxels.res, np.float32)
+        n = np.asarray(s.voxels.shape)
+        k = np.round((pa[i] - lo) / res)
+        valid = np.all((k >= 0) & (k < n), axis=-1)
+        nv += int(np.any(valid.reshape(8, F // seg, seg), axis=2).sum())
+        nt += 8 * (F // seg)
+    frac = nv / nt
+    budget = min(1.0, frac * 1.5 + 0.01)
+    log(f"tight-cache in-bounds (link, tile) fraction {frac:.3f} "
+        f"-> cull budget {budget:.3f}")
+
+    def make_query_sum(cull):
+        # cull is STATIC (it sizes the compaction buffer at trace time), so
+        # it is closure-captured per variant rather than passed as a jit arg
+        def query_sum(q, p, tables):
+            f, pk = tables
+            m, m_inv = robot._link_transforms(q)
+            v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
+                                          fast_tables=f, seg=seg, cull=cull,
+                                          packed_bricks=pk)
+            return v.sum() + g.sum()
+        return query_sum
+
+    reps = chained.reps
+    extra = {"cull_in_bounds_fraction": round(frac, 3)}
+    for label, cull, tables in (("dense", None, (ft, None)),
+                                ("cull", budget, (ft, packed))):
+        query_sum = make_query_sum(cull)
+        fwd = chained(query_sum)
+        bwd = chained(lambda q, p, t: jax.grad(
+            lambda qq: query_sum(qq, p, t))(q).sum())
+        float(fwd(th, pts, tables))
+        t0 = time.perf_counter()
+        float(fwd(th, pts, tables))
+        fwd_s = (time.perf_counter() - t0) / reps
+        float(bwd(th, pts, tables))
+        t0 = time.perf_counter()
+        float(bwd(th, pts, tables))
+        bwd_s = (time.perf_counter() - t0) / reps
+        log(f"tight-cache {label}: fwd {fwd_s * 1e3:.2f} ms "
+            f"({N * M / fwd_s / 1e6:.1f}M q/s), fwd+bwd {bwd_s * 1e3:.2f} ms "
+            f"({N * M / bwd_s / 1e6:.1f}M q/s)")
+        extra[f"tight_{label}_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
+        extra[f"tight_{label}_forward_backward_qps_M"] = round(
+            N * M / bwd_s / 1e6, 1)
     return extra
 
 

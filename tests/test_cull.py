@@ -148,6 +148,18 @@ def test_cull_mixed_children(tmp_path):
     assert_same(g_c, g_d)
 
 
+def test_query_grid_cull(robot):
+    """RobotSDF.query_grid(cull=...) reproduces the dense grid sweep
+    exactly, values+grads and values_only."""
+    q = _configs()
+    v_d, g_d = robot.query_grid(q, RANGE, 0.02)
+    v_c, g_c = robot.query_grid(q, RANGE, 0.02, cull=0.3)
+    assert_same(v_c, v_d)
+    assert_same(g_c, g_d)
+    v_vo = robot.query_grid(q, RANGE, 0.02, cull=0.3, values_only=True)
+    assert_same(v_vo, v_d)
+
+
 def test_cull_all_generic_children_noop():
     """cull on a union with no coherent-fast children is a no-op (generic
     sub-path only), not an error."""
