@@ -213,7 +213,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         :param joint_config: ``[A x] M``
         :param query_range: ``(min, max)`` per dimension
         :param resolution: grid sweep step
-        :param values_only: skip the gradient output (~2x faster at scale;
+        :param values_only: skip the gradient output (skips the winner rows;
             gradients stopped — collision checks / occupancy rasters)
         :param cull: (link, tile) gather-culling budget as a fraction of all
             pairs — skip brick gathers for tiles fully outside a link's grid

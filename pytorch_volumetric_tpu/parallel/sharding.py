@@ -150,7 +150,7 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
     (contiguous chunk per device).  ``seg``: points per brick row — 4 for
     raster lines, or the tile size from ``voxel.get_coherent_tile_points``.
     ``values_only=True`` returns just ``val [A, P]`` (gradients stopped;
-    ~2x faster — collision checks / occupancy rasters)."""
+    skips the winner-gradient rows — collision checks / occupancy rasters)."""
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
                                             coherent_generic_aux,
                                             compose_query_coherent)

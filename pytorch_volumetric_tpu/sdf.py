@@ -601,21 +601,27 @@ class NarrowBandMeshSDF(ObjectFrameSDF):
 
 # -- coherent (segmented brick-gather) union query ---------------------------
 #
-# XLA gathers on TPU are issue-rate bound (~170M rows/s measured on v5e,
-# independent of row width, dtype, or index locality), so the naive
-# one-gather-per-(link, point) cached union costs S*P rows.  When consecutive
-# groups of COHERENT_SEG query points are spatially coherent (each quadruple
-# spans <= 1.5 * cache resolution per dimension — true for regular-grid sweeps
-# like the reference benchmark, draw_sdf_slice, and voxelization), one gather
-# of a 4x4x4 voxel *brick* serves the whole segment and per-point values are
-# extracted on the VPU with a one-hot dot: S*P/4 rows instead of S*P rows —
-# ~3.5x fewer gather issues, and row width is nearly free.  Because width is
-# free, brick rows carry all FOUR (value, grad) channels per cell, so the
-# value+gradient path issues exactly the same rows as the value-only path —
-# no separate winner-gradient gather.  Bricks overlap at stride 2 per dim
-# (32x the value grid in HBM, 8x the packed vg rows) so that any segment
-# whose integer keys span <= 2 voxels is guaranteed to land inside the brick
-# anchored at 2*floor(min_key/2).
+# XLA gathers on TPU have two regimes (both measured on v5e): NARROW rows are
+# issue-rate bound (~170M rows/s at 16 B rows, independent of dtype or index
+# locality) and WIDE rows are bandwidth-bound at an effective gather stream
+# of only ~24 GB/s — far below the ~800 GB/s sequential HBM bandwidth (fit
+# from the r1 and r3 headline artifacts: 16 B rows cost ~6 ns, 1 KB rows
+# ~43 ns).  So the layout must minimize BOTH the row count and, above ~100 B
+# rows, the gathered BYTES.  The naive one-gather-per-(link, point) cached
+# union costs S*P narrow rows; when consecutive groups of COHERENT_SEG query
+# points are spatially coherent (each group spans <= 1.5 * cache resolution
+# per dimension — true for regular-grid sweeps like the reference benchmark,
+# draw_sdf_slice, and voxelization), one gather of a 4x4x4 voxel *brick*
+# serves the whole group and per-point values are extracted on the VPU with
+# a one-hot dot: S*P/seg rows instead of S*P.  Brick rows carry ONLY the
+# value channel (64 cells = 256 B): a 4-channel (value, grad) brick was
+# measured 26% SLOWER end-to-end (BENCH_r03 4ch A/B — 1 KB rows put the
+# union in the bytes-bound regime), so the winner's gradient comes from one
+# extra 16 B row per point gathered from the concatenated packed (value,
+# grad) table instead — narrow rows ride the cheap issue-bound regime.
+# Bricks overlap at stride 2 per dim (8x the value grid in HBM, 2x the
+# packed vg rows) so that any segment whose integer keys span <= 2 voxels is
+# guaranteed to land inside the brick anchored at 2*floor(min_key/2).
 #
 # A "segment" is just a run of consecutive points sharing one brick — the
 # lookup only reshapes, so the group size generalizes beyond 4-point raster
@@ -680,7 +686,7 @@ class _CoherentTables(NamedTuple):
     n: jnp.ndarray         # [3] int32 grid dims
     strides: jnp.ndarray   # [3] int32 ravel strides of the value grid
     vg: jnp.ndarray        # [G, 4] packed (value, grad) rows
-    bricks: jnp.ndarray    # [NB, 256] overlapping 4x4x4 (value, grad) bricks
+    bricks: jnp.ndarray    # [NB, 64] overlapping 4x4x4 VALUE bricks
     bstrides: jnp.ndarray  # [3] int32 ravel strides of the brick grid
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
 
@@ -689,11 +695,11 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables],
                            seg: int = COHERENT_SEG):
     """Value-only variant of :func:`_coherent_union_lookup`:
     ``values(pts_c [C, B, F, 3], bricks_list) -> val [B, F]``.  Skips the
-    winner-row gradient gather and every gradient-side carry — measured ~2x
-    faster at north-star scale — for inference-only sweeps (collision
-    checks, occupancy rasters).  Not differentiable (callers stop
-    gradients).  ``seg``: points per brick row (line segment or tile
-    size — see the module comment above COHERENT_SEG)."""
+    winner-row gradient gather and every gradient-side carry (~10% of the
+    value+gradient cost under the value-brick layout) for inference-only
+    sweeps (collision checks, occupancy rasters).  Not differentiable
+    (callers stop gradients).  ``seg``: points per brick row (line segment
+    or tile size — see the module comment above COHERENT_SEG)."""
     with jax.ensure_compile_time_eval():
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
@@ -712,8 +718,7 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables],
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
             seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
-            # bricks carry (value, grad) per cell; channel 0 is the value
-            rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)[..., 0]
+            rows = bricks_list[ci][bflat]                      # [B, FS, 64]
             off = ks - (corner2 * 2)[:, :, None, :]
             offf = jnp.sum(off * off_ravel, axis=-1)
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
@@ -726,32 +731,42 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables],
     return values
 
 
+def _coherent_vg_bases(smalls: Sequence[_CoherentTables]) -> np.ndarray:
+    """Static row offset of each child's packed (value, grad) table inside
+    the concatenated ``vg_cat`` array (child order, trailing total)."""
+    return np.cumsum([0] + [int(np.prod(np.asarray(t.n, dtype=np.int64)))
+                            for t in smalls])
+
+
 def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
-                           brick_sd: Sequence[tuple],
+                           brick_sd: Sequence[tuple], vg_sd: tuple,
                            seg: int = COHERENT_SEG):
     """Returns a custom-VJP function ``lookup(pts_c [C, B, F, 3],
-    bricks_list) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
+    bricks_list, vg_cat) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
     evaluating the min-union of the cached children with brick gathers;
     ``g_link`` is the winner's gradient in the *winner's own frame* and
     ``oh`` the winner one-hot (for rotating back and for the
     straight-through VJP).
 
-    The brick rows carry all four (value, grad) channels per cell, so the
-    per-point gradient falls out of the same one-hot contraction as the
-    value — the value+gradient path issues exactly the brick rows and
-    nothing else (one row per (child, ``seg``-point group); no winner-row
-    gather).  At the measured ~170M rows/s TPU gather issue rate this is
-    the roofline for the cached union: C/seg rows per point (seg = 4 for
-    raster lines, 12/27 for 2D/3D tiles at the standard 2x ratio).
+    The union's values come from one 256 B value-brick row per (child,
+    ``seg``-point group); the winner's gradient comes from ONE extra 16 B
+    row per point gathered from ``vg_cat`` (the children's packed (value,
+    grad) tables concatenated in child order).  Narrow rows ride the
+    issue-bound gather regime (~6 ns/row) so the gradient adds ~10% to the
+    bytes-dominated brick cost — a 4-channel gradient-in-brick layout was
+    measured 26% slower end-to-end (1 KB rows are bandwidth-bound at
+    ~24 GB/s; see the module comment above COHERENT_SEG).
 
     Only ``smalls``' tiny fields (lo/res/n/strides/bstrides/bb) are used —
     they MUST be concrete (their arithmetic has to constant-fold exactly
     like the generic path's, or borderline ``round()``\\ s flip by one
-    voxel).  The big brick arrays are explicit arguments so callers can
-    thread them through jits: captured constants at multi-hundred-MB scale
-    cost minutes of compile per retrace, and custom_vjp closures cannot
-    capture argument tracers."""
+    voxel).  The big arrays (``bricks_list`` per child, ``vg_cat``) are
+    explicit arguments so callers can thread them through jits: captured
+    constants at multi-hundred-MB scale cost minutes of compile per
+    retrace, and custom_vjp closures cannot capture argument tracers.
+    ``vg_sd``: (shape, dtype) of ``vg_cat`` for the zero cotangent."""
     C = len(smalls)
+    bases = _coherent_vg_bases(smalls)
     # small index constants; concrete even when (re)built inside a
     # jit/grad trace (a traced constant here would fail lowering under
     # grad-of-jit)
@@ -760,15 +775,18 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
         child_iota = jnp.arange(C, dtype=jnp.int32)
 
-    def eval_union(pts_c, bricks_list):
+    def eval_union(pts_c, bricks_list, vg_cat):
         B, F = pts_c.shape[1], pts_c.shape[2]
         FS = F // seg
-        best_v = best_g = best_i = None
+        best_v = best_i = best_flat = best_valid = best_g_oob = None
         for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
+            # int() keeps the python-int weak type: an np.int64 scalar would
+            # promote the int32 flat index
+            flat = jnp.sum(kc * t.strides, axis=-1) + int(bases[ci])
             ks = kc.reshape(B, FS, seg, 3)
             corner2 = ks.min(axis=2) // 2                      # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
@@ -780,40 +798,45 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             # gather_nearest row-0 redirect).
             seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
             bflat = jnp.where(seg_valid, bflat, 0)
-            rows = bricks_list[ci][bflat].reshape(B, FS, 64, 4)
+            rows = bricks_list[ci][bflat]                      # [B, FS, 64]
             off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
             # one-hot multiply-sum, NOT einsum/matmul: exactly one term per
             # lane is nonzero, so the result is bit-identical to a direct
             # row gather (and immune to TPU bf16 matmul passes)
-            vg_pt = jnp.sum(rows[:, :, None, :, :] * oh64[..., None],
-                            axis=3).reshape(B, F, 4)
-            v_in = vg_pt[..., 0]
-            g_in = vg_pt[..., 1:4]
+            v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
             # out-of-bounds: distance-to-AABB under-approximation, carrying
             # its gradient through the min-union so no per-point winner
             # reconstruction is needed afterwards
             v_oob, g_oob = _aabb_distance_grad(t.bb, p)
             v = jnp.where(valid, v_in, v_oob)
-            g = jnp.where(valid[..., None], g_in, g_oob)
             if best_v is None:
-                best_v, best_g = v, g
-                best_i = jnp.zeros(v.shape, dtype=jnp.int32)
+                best_v, best_flat, best_valid = v, flat, valid
+                best_g_oob = g_oob
+                best_i = jnp.zeros_like(flat)
             else:
                 better = v < best_v
                 best_v = jnp.where(better, v, best_v)
-                best_g = jnp.where(better[..., None], g, best_g)
+                best_flat = jnp.where(better, flat, best_flat)
+                best_valid = jnp.where(better, valid, best_valid)
+                best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
         oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
-        return best_v, best_g, oh
+        # single winner-row gather for the gradient; points whose winner is
+        # out of bounds use the AABB gradient anyway, so redirect them to
+        # row 0 (duplicated address -> cache hit, not a scattered read)
+        best_flat = jnp.where(best_valid, best_flat, 0)
+        g_in = vg_cat[best_flat][..., 1:4]
+        g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
+        return best_v, g_link, oh
 
     @jax.custom_vjp
-    def lookup(pts_c, bricks_list):
-        return eval_union(pts_c, bricks_list)
+    def lookup(pts_c, bricks_list, vg_cat):
+        return eval_union(pts_c, bricks_list, vg_cat)
 
-    def fwd(pts_c, bricks_list):
-        val, g_link, oh = eval_union(pts_c, bricks_list)
+    def fwd(pts_c, bricks_list, vg_cat):
+        val, g_link, oh = eval_union(pts_c, bricks_list, vg_cat)
         return (val, g_link, oh), (g_link, oh)
 
     def bwd(residual, cotangents):
@@ -824,7 +847,7 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         # tables are data, not parameters: zero cotangents (DCE'd upstream;
         # shapes statically known at lookup-build time)
         d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
-        return (d_pts, d_bricks)
+        return (d_pts, d_bricks, jnp.zeros(vg_sd[0], vg_sd[1]))
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -832,7 +855,7 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
 
 def coherent_packed_bricks(children: Sequence["ObjectFrameSDF"]) -> jnp.ndarray:
     """All coherent-fast children's brick tables concatenated into ONE
-    ``[sum_NB, 256]`` device array (child order), for the CULLED union paths
+    ``[sum_NB, 64]`` device array (child order), for the CULLED union paths
     (``cull_capacity``).  Build ONCE outside the jit and thread it through as
     an argument — like :func:`coherent_fast_tables`, a captured constant at
     this scale costs minutes of compile per retrace."""
@@ -863,9 +886,13 @@ def _coherent_union_culled(smalls: Sequence[_CoherentTables], seg: int,
     the same packed table, so results are bit-identical to the dense paths
     for every input, never silently truncated.
 
-    Returns ``eval(pts_c [C, B, F, 3], big_bricks [sum_NB, 256])`` yielding
-    ``val [B, F]`` (``with_grad=False``) or ``(val, g_link, oh)`` like
-    :func:`_coherent_union_lookup`'s ``eval_union`` (``with_grad=True``)."""
+    Returns ``eval(pts_c [C, B, F, 3], big_bricks [sum_NB, 64])`` yielding
+    ``val [B, F]`` (``with_grad=False``), or ``eval(pts_c, big_bricks,
+    vg_cat)`` yielding ``(val, g_link, oh)`` like
+    :func:`_coherent_union_lookup`'s ``eval_union`` (``with_grad=True``;
+    the winner's gradient is one extra 16 B row per point from ``vg_cat``,
+    dense — per-point winner rows are issue-bound and cheap, so they are
+    not worth compacting)."""
     C = len(smalls)
     with jax.ensure_compile_time_eval():
         iota64 = jnp.arange(64, dtype=jnp.int32)
@@ -873,14 +900,15 @@ def _coherent_union_culled(smalls: Sequence[_CoherentTables], seg: int,
         child_iota = jnp.arange(C, dtype=jnp.int32)
     # static row offset of each child's bricks inside the packed table
     brick_off = np.cumsum([0] + [int(t.bricks.shape[0]) for t in smalls])
+    vg_base = _coherent_vg_bases(smalls)
 
-    def eval_fn(pts_c, big_bricks):
+    def eval_fn(pts_c, big_bricks, vg_cat=None):
         B, F = pts_c.shape[1], pts_c.shape[2]
         FS = F // seg
         N = C * B * FS
         cap = min(capacity, N)
         # -- elementwise front-end (identical math to the dense paths) ------
-        valids, oobs, metas, seg_valids = [], [], [], []
+        valids, oobs, metas, seg_valids, flats = [], [], [], [], []
         for ci, t in enumerate(smalls):
             p = pts_c[ci]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
@@ -900,54 +928,60 @@ def _coherent_union_culled(smalls: Sequence[_CoherentTables], seg: int,
             valids.append(valid)
             oobs.append(_aabb_distance_grad(t.bb, p))
             seg_valids.append(seg_valid)
+            if with_grad:
+                flats.append(jnp.sum(kc * t.strides, axis=-1)
+                             + int(vg_base[ci]))
         meta = jnp.stack(metas).reshape(N, 1 + seg)          # int32
         mask = jnp.stack(seg_valids).reshape(N)
-        ch = 4 if with_grad else 1
 
         def culled(meta, mask, big_bricks):
             idx = jnp.nonzero(mask, size=cap, fill_value=N)[0]
             m = meta[jnp.minimum(idx, N - 1)]                # [cap, 1+seg]
-            rows = big_bricks[m[:, 0]].reshape(cap, 64, 4)[..., :ch]
+            rows = big_bricks[m[:, 0]]                       # [cap, 64]
             oh64 = (m[:, 1:, None] == iota64).astype(pts_c.dtype)
             # one-hot multiply-sum, NOT matmul: bit-identical to a row gather
-            vg = jnp.sum(rows[:, None, :, :] * oh64[..., None], axis=2)
-            buf = jnp.zeros((N, seg, ch), dtype=pts_c.dtype)
-            return buf.at[idx].set(vg, mode="drop")
+            v = jnp.sum(rows[:, None, :] * oh64, axis=2)     # [cap, seg]
+            buf = jnp.zeros((N, seg), dtype=pts_c.dtype)
+            return buf.at[idx].set(v, mode="drop")
 
         def dense(meta, mask, big_bricks):
             del mask
-            rows = big_bricks[meta[:, 0]].reshape(N, 64, 4)[..., :ch]
+            rows = big_bricks[meta[:, 0]]
             oh64 = (meta[:, 1:, None] == iota64).astype(pts_c.dtype)
-            return jnp.sum(rows[:, None, :, :] * oh64[..., None], axis=2)
+            return jnp.sum(rows[:, None, :] * oh64, axis=2)
 
         count = jnp.sum(mask.astype(jnp.int32))
-        vg_in = jax.lax.cond(count <= cap, culled, dense,
+        v_all = jax.lax.cond(count <= cap, culled, dense,
                              meta, mask, big_bricks)
-        vg_in = vg_in.reshape(C, B, F, ch)
+        v_all = v_all.reshape(C, B, F)
         # -- min-union combine: same sequential order as the dense paths ----
-        best_v = best_g = best_i = None
+        best_v = best_i = best_flat = best_valid = best_g_oob = None
         for ci in range(C):
             v_oob, g_oob = oobs[ci]
-            v = jnp.where(valids[ci], vg_in[ci, ..., 0], v_oob)
-            if with_grad:
-                g = jnp.where(valids[ci][..., None], vg_in[ci, ..., 1:4],
-                              g_oob)
+            v = jnp.where(valids[ci], v_all[ci], v_oob)
             if best_v is None:
                 best_v = v
                 if with_grad:
-                    best_g = g
+                    best_flat, best_valid = flats[ci], valids[ci]
+                    best_g_oob = g_oob
                     best_i = jnp.zeros(v.shape, dtype=jnp.int32)
             elif with_grad:
                 better = v < best_v
                 best_v = jnp.where(better, v, best_v)
-                best_g = jnp.where(better[..., None], g, best_g)
+                best_flat = jnp.where(better, flats[ci], best_flat)
+                best_valid = jnp.where(better, valids[ci], best_valid)
+                best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
             else:
                 best_v = jnp.minimum(best_v, v)
         if not with_grad:
             return best_v
         oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
-        return best_v, best_g, oh
+        # single winner-row gather (see _coherent_union_lookup)
+        best_flat = jnp.where(best_valid, best_flat, 0)
+        g_in = vg_cat[best_flat][..., 1:4]
+        g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
+        return best_v, g_link, oh
 
     return eval_fn
 
@@ -955,31 +989,34 @@ def _coherent_union_culled(smalls: Sequence[_CoherentTables], seg: int,
 def _coherent_union_values_culled(smalls: Sequence[_CoherentTables],
                                   seg: int, capacity: int):
     """Culled variant of :func:`_coherent_union_values`:
-    ``values(pts_c [C, B, F, 3], big_bricks [sum_NB, 256]) -> val [B, F]``.
+    ``values(pts_c [C, B, F, 3], big_bricks [sum_NB, 64]) -> val [B, F]``.
     Bit-identical results; see :func:`_coherent_union_culled`."""
     return _coherent_union_culled(smalls, seg, capacity, with_grad=False)
 
 
 def _coherent_union_lookup_culled(smalls: Sequence[_CoherentTables],
-                                  big_sd: tuple, seg: int, capacity: int):
+                                  big_sd: tuple, vg_sd: tuple,
+                                  seg: int, capacity: int):
     """Culled variant of :func:`_coherent_union_lookup` (same custom-VJP
     straight-through contract), taking the packed ``big_bricks`` array
-    instead of the per-child tuple.  ``big_sd``: its (shape, dtype)."""
+    instead of the per-child tuple.  ``big_sd`` / ``vg_sd``: (shape, dtype)
+    of ``big_bricks`` / ``vg_cat`` for the zero cotangents."""
     eval_union = _coherent_union_culled(smalls, seg, capacity, with_grad=True)
 
     @jax.custom_vjp
-    def lookup(pts_c, big_bricks):
-        return eval_union(pts_c, big_bricks)
+    def lookup(pts_c, big_bricks, vg_cat):
+        return eval_union(pts_c, big_bricks, vg_cat)
 
-    def fwd(pts_c, big_bricks):
-        val, g_link, oh = eval_union(pts_c, big_bricks)
+    def fwd(pts_c, big_bricks, vg_cat):
+        val, g_link, oh = eval_union(pts_c, big_bricks, vg_cat)
         return (val, g_link, oh), (g_link, oh)
 
     def bwd(residual, cotangents):
         g_link, oh = residual
         ct_val = cotangents[0]
         d_pts = oh[..., None] * (ct_val[..., None] * g_link)[None]
-        return (d_pts, jnp.zeros(big_sd[0], big_sd[1]))
+        return (d_pts, jnp.zeros(big_sd[0], big_sd[1]),
+                jnp.zeros(vg_sd[0], vg_sd[1]))
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -1021,14 +1058,14 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     ``fast_tables``: optional ``_CoherentTables`` tuple for the
     coherent-fast children in child order, as built by
     :func:`coherent_fast_tables`.  Thread it through your jit as an
-    ARGUMENT — the brick tables are 32x the value grids, and captured
+    ARGUMENT — the brick tables are 8x the value grids, and captured
     constants at that scale cost minutes of compile per retrace.  When
     omitted, tables are materialized at trace time as program constants
     (correct, but slow to compile for big robots).
 
     ``values_only=True`` returns just ``val [B, F]``, skipping the winner
-    gradient gather and its carries — measured ~2x faster at north-star
-    scale.  Inference only: gradients through the result are STOPPED
+    gradient gather and its carries (~10% of the value+gradient cost at
+    north-star scale).  Inference only: gradients through the result are STOPPED
     (collision checks / occupancy rasters don't need them).
 
     ``cull``: when set, use the CULLED union (:func:`_coherent_union_culled`)
@@ -1111,18 +1148,25 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                     jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
+        # winner-gradient rows: the children's packed [G, 4] tables
+        # concatenated in child order.  When tables arrive as jit arguments
+        # the concat is ONE device op per dispatch, hoisted out of any scan
+        # (~0.2 ms at HBM bandwidth for the 8-link headline robot) — far
+        # cheaper than the ~26% end-to-end cost of carrying gradient
+        # channels inside the brick rows (see _coherent_union_lookup).
+        vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
         if cull_cap is not None:
             lookup = _coherent_union_lookup_culled(
                 smalls, (packed_bricks.shape, packed_bricks.dtype),
-                seg=seg, capacity=cull_cap)
+                (vg_cat.shape, vg_cat.dtype), seg=seg, capacity=cull_cap)
             val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
-                                     packed_bricks)
+                                     packed_bricks, vg_cat)
         else:
             lookup = _coherent_union_lookup(
                 smalls, [(t.bricks.shape, t.bricks.dtype) for t in tables],
-                seg=seg)
+                (vg_cat.shape, vg_cat.dtype), seg=seg)
             val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
-                                     tuple(t.bricks for t in tables))
+                                     tuple(t.bricks for t in tables), vg_cat)
         best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
         best_i = jnp.zeros(val.shape, dtype=jnp.int32)
         for ci, i in enumerate(fast):
@@ -1243,7 +1287,7 @@ class ComposedSDF(ObjectFrameSDF):
             if not _is_coherent_fast_child(s):
                 continue
             # only the tiny grid fields are needed — do NOT trigger the lazy
-            # 32x brick-table device build just to gate the fast path (f32
+            # 8x brick-table device build just to gate the fast path (f32
             # casts match the device tables' arithmetic)
             lo = np.asarray(s.voxels.lo, dtype=np.float32)
             res = np.asarray(s.voxels.res, dtype=np.float32)
@@ -1265,7 +1309,7 @@ class ComposedSDF(ObjectFrameSDF):
         fewer gather rows for cached children on TPU.  Points must be flat
         ``[F, 3]`` with ``F % seg == 0``.  ``debug_check=True`` verifies the
         coherence contract on host first and raises on violation.
-        ``values_only=True`` returns just the values (~2x faster at scale;
+        ``values_only=True`` returns just the values (skips the winner rows;
         gradients stopped — inference only).  ``seg``: points per brick row —
         4 for classic raster lines (:func:`voxel.get_coherent_grid_points`),
         or the tile size returned by :func:`voxel.get_coherent_tile_points`
@@ -1440,9 +1484,9 @@ class CachedSDF(ObjectFrameSDF):
 
     Additions over the reference: optional ``interpolation="trilinear"``
     (smooth value/gradient instead of nearest-voxel staircase), and the
-    segmented brick-gather fast path for coherent sweeps (the brick tables
-    cost 32x the value grid in device memory — 8x brick overlap times 4
-    (value, grad) channels — and are built lazily on first coherent query).
+    segmented brick-gather fast path for coherent sweeps (the value-brick
+    tables cost 8x the value grid in device memory from the stride-2 brick
+    overlap, and are built lazily on first coherent query).
     """
 
     def __init__(self, object_name, resolution, range_per_dim,
@@ -1585,14 +1629,16 @@ class CachedSDF(ObjectFrameSDF):
     def _coherent_tables(self) -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
-        of (value, grad) cells at stride 2 per dimension."""
+        of VALUE cells at stride 2 per dimension (gradients come from a
+        single winner row of the packed table, not the bricks — see
+        _coherent_union_lookup)."""
         if getattr(self, "_coherent_cache", None) is not None:
             return self._coherent_cache
         return self._build_coherent_tables()
 
     def _build_coherent_tables(self) -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
-        # 32x brick expansion never crosses the (slow, tunneled) host link.
+        # 8x brick expansion never crosses the (slow, tunneled) host link.
         # ensure_compile_time_eval keeps everything concrete even when this
         # lazy init is reached inside a jit/grad trace.
         n = np.asarray(self.voxels.shape, dtype=np.int64)
@@ -1600,20 +1646,20 @@ class CachedSDF(ObjectFrameSDF):
         npad = 2 * nb + 2              # max corner 2*(nb-1) + brick extent 4
         bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
         with jax.ensure_compile_time_eval():
-            vol = self._vg.reshape(tuple(int(d) for d in n) + (4,))
+            vol = self._vg[:, 0].reshape(tuple(int(d) for d in n))
             padded = jnp.pad(vol, [(0, int(npad[d] - n[d]))
-                                   for d in range(3)] + [(0, 0)])
+                                   for d in range(3)])
             parts = []
             for ux in range(4):
                 for uy in range(4):
                     for uz in range(4):
                         parts.append(jax.lax.slice(
-                            padded, (ux, uy, uz, 0),
+                            padded, (ux, uy, uz),
                             (ux + 2 * int(nb[0] - 1) + 1,
                              uy + 2 * int(nb[1] - 1) + 1,
-                             uz + 2 * int(nb[2] - 1) + 1, 4), (2, 2, 2, 1)))
-            # cell-major rows: [NB, 64 cells x 4 channels]
-            bricks = jnp.stack(parts, axis=-2).reshape(-1, 256)
+                             uz + 2 * int(nb[2] - 1) + 1), (2, 2, 2)))
+            # cell-major rows: [NB, 64 value cells]
+            bricks = jnp.stack(parts, axis=-1).reshape(-1, 64)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
