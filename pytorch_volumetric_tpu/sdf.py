@@ -655,9 +655,15 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     """The ``_CoherentTables`` tuple for the coherent-fast children of
     ``children`` (in child order), ready to thread into
     :func:`compose_query_coherent`'s ``fast_tables`` as a jit argument.
-    Build ONCE outside the jit (the brick expansion is device work)."""
-    return tuple(s._coherent_tables() for s in children
-                 if _is_coherent_fast_child(s))
+    Build ONCE outside the jit (the brick expansion is device work).
+
+    When exactly ONE child takes the fast path, its tables additionally
+    carry the 4-channel gradient bricks (``bricks4``) so
+    :func:`compose_query_coherent` can use the winner-row-free single-child
+    layout (see :func:`_coherent_single_lookup`)."""
+    fast = [s for s in children if _is_coherent_fast_child(s)]
+    return tuple(s._coherent_tables(with_grad_bricks=len(fast) == 1)
+                 for s in fast)
 
 
 def _is_coherent_fast_child(s) -> bool:
@@ -689,6 +695,14 @@ class _CoherentTables(NamedTuple):
     bricks: jnp.ndarray    # [NB, 64] overlapping 4x4x4 VALUE bricks
     bstrides: jnp.ndarray  # [3] int32 ravel strides of the brick grid
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
+    # [NB, 256] 4-channel (value, grad) bricks, cell-major channel-minor.
+    # Built ONLY for single-cached-child unions, where (value, gradient)
+    # ride one 1 KB row per tile instead of a 256 B value row plus seg
+    # 16 B winner rows (no union to win — see _coherent_single_lookup;
+    # measured 136 -> 261M q/s on the free-drill bench row).  None for
+    # multi-child unions, where carrying gradient channels in every
+    # (child, tile) row measured 26% slower end-to-end.
+    bricks4: Optional[jnp.ndarray] = None
 
 
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
@@ -848,6 +862,73 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         # shapes statically known at lookup-build time)
         d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
         return (d_pts, d_bricks, jnp.zeros(vg_sd[0], vg_sd[1]))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
+                            seg: int = COHERENT_SEG):
+    """Single-cached-child variant of :func:`_coherent_union_lookup`: with no
+    union to win, the winner is always this child, so (value, gradient) ride
+    ONE 1 KB 4-channel brick row per ``seg``-point tile instead of a 256 B
+    value row plus ``seg`` per-point 16 B winner rows.  Under the gather cost
+    model ``t_row ~ 5.9 ns + 42 ps/B`` that is ~49 ns per 12-point tile vs
+    ~94 ns for value-brick + winner rows; the r3 A/B measured the free-drill
+    bench row at 261M q/s (4-channel) vs 136M q/s (value-brick + winner
+    rows).  Multi-child unions keep value-only bricks — there, gradient
+    channels would be gathered for every LOSING child too, which measured
+    26% slower end-to-end (see ``_coherent_union_lookup``).
+
+    Returns ``lookup(pts_c [1, B, F, 3], bricks4 [NB, 256]) -> (val [B, F],
+    g_link [B, F, 3], oh [1, B, F])`` — same output contract as the union
+    lookup (``oh`` is all-ones), bit-identical values/gradients to the
+    generic per-point path.  ``b4_sd``: (shape, dtype) of ``bricks4`` for
+    the zero cotangent."""
+    with jax.ensure_compile_time_eval():
+        iota64 = jnp.arange(64, dtype=jnp.int32)
+        off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
+
+    def eval_single(pts_c, bricks4):
+        B, F = pts_c.shape[1], pts_c.shape[2]
+        FS = F // seg
+        p = pts_c[0]
+        k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
+        valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
+        kc = jnp.clip(k, 0, t.n - 1)
+        ks = kc.reshape(B, FS, seg, 3)
+        corner2 = ks.min(axis=2) // 2
+        bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
+        seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
+        bflat = jnp.where(seg_valid, bflat, 0)
+        rows = bricks4[bflat].reshape(B, FS, 64, 4)
+        off = ks - (corner2 * 2)[:, :, None, :]
+        offf = jnp.sum(off * off_ravel, axis=-1)            # [B, FS, SEG]
+        oh64 = (offf[..., None] == iota64).astype(p.dtype)  # [B, FS, SEG, 64]
+        # one-hot multiply-sum (exactly one nonzero term): bit-identical to
+        # a per-point row gather, immune to TPU bf16 matmul passes
+        vg = jnp.sum(rows[:, :, None, :, :] * oh64[..., None], axis=3)
+        vg = vg.reshape(B, F, 4)
+        v_oob, g_oob = _aabb_distance_grad(t.bb, p)
+        val = jnp.where(valid, vg[..., 0], v_oob)
+        g_link = jnp.where(valid[..., None], vg[..., 1:4], g_oob)
+        oh = jnp.ones((1, B, F), dtype=pts_c.dtype)
+        return val, g_link, oh
+
+    @jax.custom_vjp
+    def lookup(pts_c, bricks4):
+        return eval_single(pts_c, bricks4)
+
+    def fwd(pts_c, bricks4):
+        val, g_link, oh = eval_single(pts_c, bricks4)
+        return (val, g_link, oh), (g_link,)
+
+    def bwd(residual, cotangents):
+        (g_link,) = residual
+        ct_val = cotangents[0]
+        # straight-through: d val / d pts_c[0] = winner gradient
+        d_pts = (ct_val[..., None] * g_link)[None]
+        return (d_pts, jnp.zeros(b4_sd[0], b4_sd[1]))
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -1117,7 +1198,8 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                     f"fast_tables holds {len(tables)} table sets but "
                     f"{len(fast)} children take the coherent fast path")
         else:
-            tables = [children[i]._coherent_tables() for i in fast]
+            tables = [children[i]._coherent_tables(
+                with_grad_bricks=len(fast) == 1) for i in fast]
         # the tiny per-child fields (lo/res/dims/strides/bb) must be
         # trace-time CONSTANTS even when tables arrive as jit-argument
         # tracers: as traced values XLA emits a true division for
@@ -1148,32 +1230,48 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                     jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
-        # winner-gradient rows: the children's packed [G, 4] tables
-        # concatenated in child order.  When tables arrive as jit arguments
-        # the concat is ONE device op per dispatch, hoisted out of any scan
-        # (~0.2 ms at HBM bandwidth for the 8-link headline robot) — far
-        # cheaper than the ~26% end-to-end cost of carrying gradient
-        # channels inside the brick rows (see _coherent_union_lookup).
-        vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
-        if cull_cap is not None:
-            lookup = _coherent_union_lookup_culled(
-                smalls, (packed_bricks.shape, packed_bricks.dtype),
-                (vg_cat.shape, vg_cat.dtype), seg=seg, capacity=cull_cap)
-            val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
-                                     packed_bricks, vg_cat)
+        if (len(fast) == 1 and cull_cap is None
+                and tables[0].bricks4 is not None):
+            # single cached child: no union to win, so skip the per-point
+            # winner rows entirely — (value, gradient) ride one 4-channel
+            # brick row per tile (see _coherent_single_lookup)
+            lookup = _coherent_single_lookup(
+                smalls[0], (tables[0].bricks4.shape, tables[0].bricks4.dtype),
+                seg=seg)
+            val, g_link, _ = lookup(pts_all[fast[0]][None], tables[0].bricks4)
+            best_v = val
+            best_g = tfm.rotate_vectors(R_back[fast[0]], g_link)
+            best_i = jnp.full(val.shape, fast[0], dtype=jnp.int32)
         else:
-            lookup = _coherent_union_lookup(
-                smalls, [(t.bricks.shape, t.bricks.dtype) for t in tables],
-                (vg_cat.shape, vg_cat.dtype), seg=seg)
-            val, g_link, oh = lookup(jnp.stack([pts_all[i] for i in fast]),
-                                     tuple(t.bricks for t in tables), vg_cat)
-        best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
-        best_i = jnp.zeros(val.shape, dtype=jnp.int32)
-        for ci, i in enumerate(fast):
-            g_rot = tfm.rotate_vectors(R_back[i], g_link)
-            best_g = best_g + oh[ci][..., None] * g_rot
-            best_i = jnp.where(oh[ci] > 0.5, i, best_i)
-        best_v = val
+            # winner-gradient rows: the children's packed [G, 4] tables
+            # concatenated in child order.  When tables arrive as jit
+            # arguments the concat is ONE device op per dispatch, hoisted out
+            # of any scan (~0.2 ms at HBM bandwidth for the 8-link headline
+            # robot) — far cheaper than the ~26% end-to-end cost of carrying
+            # gradient channels inside the brick rows (_coherent_union_lookup).
+            vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+            if cull_cap is not None:
+                lookup = _coherent_union_lookup_culled(
+                    smalls, (packed_bricks.shape, packed_bricks.dtype),
+                    (vg_cat.shape, vg_cat.dtype), seg=seg, capacity=cull_cap)
+                val, g_link, oh = lookup(
+                    jnp.stack([pts_all[i] for i in fast]),
+                    packed_bricks, vg_cat)
+            else:
+                lookup = _coherent_union_lookup(
+                    smalls,
+                    [(t.bricks.shape, t.bricks.dtype) for t in tables],
+                    (vg_cat.shape, vg_cat.dtype), seg=seg)
+                val, g_link, oh = lookup(
+                    jnp.stack([pts_all[i] for i in fast]),
+                    tuple(t.bricks for t in tables), vg_cat)
+            best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
+            best_i = jnp.zeros(val.shape, dtype=jnp.int32)
+            for ci, i in enumerate(fast):
+                g_rot = tfm.rotate_vectors(R_back[i], g_link)
+                best_g = best_g + oh[ci][..., None] * g_rot
+                best_i = jnp.where(oh[ci] > 0.5, i, best_i)
+            best_v = val
     for k, i in enumerate(generic):
         v, g = generic_query(k, i, pts_all[i].reshape(batch * F, 3))
         v = v.reshape(batch, F)
@@ -1626,17 +1724,42 @@ class CachedSDF(ObjectFrameSDF):
     def raw_query_with(self, aux, points):
         return self._raw_aux(aux, points)
 
-    def _coherent_tables(self) -> _CoherentTables:
+    def _coherent_tables(self, with_grad_bricks: bool = False) \
+            -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
         of VALUE cells at stride 2 per dimension (gradients come from a
         single winner row of the packed table, not the bricks — see
-        _coherent_union_lookup)."""
-        if getattr(self, "_coherent_cache", None) is not None:
-            return self._coherent_cache
-        return self._build_coherent_tables()
+        _coherent_union_lookup).  ``with_grad_bricks=True`` additionally
+        builds the 4-channel ``bricks4`` table (32x grid memory) for the
+        winner-row-free single-child layout (_coherent_single_lookup);
+        upgrades a previously built cache in place."""
+        c = getattr(self, "_coherent_cache", None)
+        if c is not None and (not with_grad_bricks or c.bricks4 is not None):
+            return c
+        return self._build_coherent_tables(with_grad_bricks=with_grad_bricks)
 
-    def _build_coherent_tables(self) -> _CoherentTables:
+    def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray) -> jnp.ndarray:
+        """Overlapping stride-2 4x4x4 brick rows of a (possibly
+        multi-channel) padded volume: ``[npad_x, npad_y, npad_z(, CH)] ->
+        [NB, 64(*CH)]`` rows, cell-major (channel-minor)."""
+        trailing = vol.shape[3:]
+        parts = []
+        for ux in range(4):
+            for uy in range(4):
+                for uz in range(4):
+                    parts.append(jax.lax.slice(
+                        vol, (ux, uy, uz) + (0,) * len(trailing),
+                        (ux + 2 * int(nb[0] - 1) + 1,
+                         uy + 2 * int(nb[1] - 1) + 1,
+                         uz + 2 * int(nb[2] - 1) + 1) + trailing,
+                        (2, 2, 2) + (1,) * len(trailing)))
+        # cell-major rows: [NB, 64 cells (x CH channels)]
+        return jnp.stack(parts, axis=3).reshape(
+            -1, 64 * int(np.prod(trailing, dtype=np.int64)))
+
+    def _build_coherent_tables(self, with_grad_bricks: bool = False) \
+            -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
         # 8x brick expansion never crosses the (slow, tunneled) host link.
         # ensure_compile_time_eval keeps everything concrete even when this
@@ -1645,21 +1768,19 @@ class CachedSDF(ObjectFrameSDF):
         nb = (n - 1) // 2 + 1          # brick-corner grid dims
         npad = 2 * nb + 2              # max corner 2*(nb-1) + brick extent 4
         bstrides = np.array([nb[1] * nb[2], nb[2], 1], dtype=np.int64)
+        pad_spec = [(0, int(npad[d] - n[d])) for d in range(3)]
         with jax.ensure_compile_time_eval():
-            vol = self._vg[:, 0].reshape(tuple(int(d) for d in n))
-            padded = jnp.pad(vol, [(0, int(npad[d] - n[d]))
-                                   for d in range(3)])
-            parts = []
-            for ux in range(4):
-                for uy in range(4):
-                    for uz in range(4):
-                        parts.append(jax.lax.slice(
-                            padded, (ux, uy, uz),
-                            (ux + 2 * int(nb[0] - 1) + 1,
-                             uy + 2 * int(nb[1] - 1) + 1,
-                             uz + 2 * int(nb[2] - 1) + 1), (2, 2, 2)))
-            # cell-major rows: [NB, 64 value cells]
-            bricks = jnp.stack(parts, axis=-1).reshape(-1, 64)
+            prev = getattr(self, "_coherent_cache", None)
+            if prev is not None:
+                bricks = prev.bricks  # upgrade in place: reuse the 1-channel
+            else:                     # table, add only the 4-channel one
+                vol = self._vg[:, 0].reshape(tuple(int(d) for d in n))
+                bricks = self._brick_expand(jnp.pad(vol, pad_spec), nb)
+            bricks4 = None
+            if with_grad_bricks:
+                vol4 = self._vg.reshape(tuple(int(d) for d in n) + (4,))
+                bricks4 = self._brick_expand(
+                    jnp.pad(vol4, pad_spec + [(0, 0)]), nb)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
@@ -1669,7 +1790,8 @@ class CachedSDF(ObjectFrameSDF):
                 strides=jnp.asarray(self.voxels._strides, dtype=jnp.int32),
                 vg=vg, bricks=bricks,
                 bstrides=jnp.asarray(bstrides, dtype=jnp.int32),
-                bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32))
+                bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32),
+                bricks4=bricks4)
         return self._coherent_cache
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):

@@ -382,3 +382,84 @@ def test_tile_shape_degenerate_ratio_falls_back():
     _, pts_g = pv.get_coordinates_and_points_in_grid(
         0.02, np.array([[-0.1, 0.1]] * 3))
     np.testing.assert_allclose(np.asarray(pts)[take], np.asarray(pts_g))
+
+
+def test_single_child_grad_bricks(tmp_path):
+    """Single-cached-child unions take the winner-row-free 4-channel brick
+    layout (_coherent_single_lookup): bricks4 is built for exactly one fast
+    child, the results stay bit-identical to the generic path (values AND
+    gradients, in- and out-of-bounds, under a rotated transform), and
+    gradients flow through the custom VJP like the union path's."""
+    from pytorch_volumetric_tpu import transforms as tfm
+    from pytorch_volumetric_tpu.sdf import coherent_fast_tables
+
+    sphere = pv.SphereSDF(0.3)
+    cached = pv.CachedSDF("sph1", 0.05, np.array([[-0.5, 0.5]] * 3), sphere,
+                          cache_path=str(tmp_path / "c.npz"))
+    # rotated + translated child frame: tile keys stay inside one brick for
+    # any rigid transform (the coherence contract), and rotation exercises
+    # the R_back gradient rotation of the single-child branch
+    R = np.asarray(tfm.euler_angles_to_matrix(
+        jnp.asarray([0.3, -0.5, 0.9]), "XYZ"))
+    mats = np.stack([np.asarray(tfm.make_tf(pos=[0.15, -0.05, 0.1], rot=R)),
+                     np.asarray(tfm.make_tf(pos=[-0.2, 0.1, 0.0], rot=R.T))])
+    comp = pv.ComposedSDF([cached], pv.Transform3d(matrix=jnp.asarray(mats)))
+
+    ft = coherent_fast_tables(comp.sdfs)
+    assert len(ft) == 1 and ft[0].bricks4 is not None
+    assert ft[0].bricks4.shape == (ft[0].bricks.shape[0], 256)
+
+    # covers in-bounds, out-of-bounds, and straddling points
+    qr = np.array([[-0.8, 0.8], [0.0, 0.0], [-0.8, 0.8]])
+    pts_c, take = pv.get_coherent_grid_points(0.02, qr)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, qr)
+    v_gen, g_gen = comp(pts_g)
+    v_coh, g_coh = comp.query_coherent(pts_c)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v_coh)[:, take],
+                                      np.asarray(v_gen))
+        np.testing.assert_array_equal(np.asarray(g_coh)[:, take],
+                                      np.asarray(g_gen))
+    else:
+        np.testing.assert_allclose(np.asarray(v_coh)[:, take],
+                                   np.asarray(v_gen), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_coh)[:, take],
+                                   np.asarray(g_gen), atol=1e-5)
+
+    # tile layout (seg > 4) through the same branch
+    pts_t, take_t, seg_t = pv.get_coherent_tile_points(
+        0.02, qr, cache_resolution=0.05)
+    assert seg_t > 4
+    v_t, g_t = comp.query_coherent(pts_t, seg=seg_t)
+    np.testing.assert_allclose(np.asarray(v_t)[:, take_t],
+                               np.asarray(v_gen), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t)[:, take_t],
+                               np.asarray(g_gen), atol=1e-6)
+
+    # gradients w.r.t. the transform (through the straight-through VJP)
+    # match the generic path's
+    def loss_coh(m):
+        c2 = pv.ComposedSDF([cached], pv.Transform3d(matrix=m))
+        v, g = c2.query_coherent(pts_c)
+        return v.sum() + g.sum()
+
+    def loss_gen(m):
+        c2 = pv.ComposedSDF([cached], pv.Transform3d(matrix=m))
+        v, g = c2(pts_c)
+        return v.sum() + g.sum()
+
+    m0 = jnp.asarray(mats)
+    g1 = jax.grad(loss_gen)(m0)
+    g2 = jax.grad(loss_coh)(m0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multi_child_tables_skip_grad_bricks(robot):
+    """Multi-child unions must NOT pay the 32x-memory bricks4 build (the
+    4-channel layout measured 26% slower there — value bricks + winner rows
+    stay the union layout)."""
+    from pytorch_volumetric_tpu.sdf import coherent_fast_tables
+    ft = coherent_fast_tables(robot.sdf.sdfs)
+    assert len(ft) > 1
+    assert all(t.bricks4 is None for t in ft)
