@@ -49,17 +49,18 @@ run_job() {  # run_job <artifact> <budget_s> <cmd...>
 #    probe so an intermittent tunnel doesn't double-charge the budget).
 PVT_BENCH_SKIP_PROBE=1 run_job "$ART/bench.json" 3000 python -u bench.py
 
-# 2. Full test suite on the real TPU (record the tail into TPU_STATUS_r03.md
-#    by hand afterwards).
-run_job "$ART/pytest_tpu.txt" 5400 env PVT_TEST_TPU=1 python -u -m pytest tests/ -q
-
-# 3. North-star: 200 configs x 1e6 points, arm then drill (27-pt tiles,
+# 2. North-star: 200 configs x 1e6 points, arm then drill (27-pt tiles,
 #    adaptive chunk fallback).
 run_job "$ART/northstar_arm.json" 3000 python -u benchmarks/northstar.py
 run_job "$ART/northstar_drill.json" 3000 python -u benchmarks/northstar.py --robot drill
 
-# 4. Narrow-band big-mesh sweep + neural rows.
+# 3. Narrow-band big-mesh sweep + neural rows.
 run_job "$ART/bigmesh.json" 3000 python -u benchmarks/bigmesh.py
 run_job "$ART/neural.json" 3600 python -u benchmarks/neural.py
+
+# 4. Full test suite on the real TPU — LAST: measured ~44 tests/32 min on
+#    axon (fresh compiles per test over the tunnel), so the full 216-test
+#    suite needs ~3 h.  Record the tail into TPU_STATUS_r03.md afterwards.
+run_job "$ART/pytest_tpu.txt" 12000 env PVT_TEST_TPU=1 python -u -m pytest tests/ -q
 
 say "queue complete; artifacts in $ART/ — refresh PERF.md/README next"
