@@ -231,7 +231,7 @@ def main():
     # failure (or slow cold build) in these optional sections, and reprint
     # the accumulated JSON after each so a kill between sections keeps
     # everything measured so far
-    for section in (bench_real_mesh, bench_mesh_arm, bench_cull):
+    for section in (bench_real_mesh, bench_mesh_arm, bench_tight):
         try:
             extra = section(jax, jnp, pv, chained, N, log)
         except Exception as e:  # noqa: BLE001 - diagnostic row instead of death
@@ -402,20 +402,18 @@ def bench_mesh_arm(jax, jnp, pv, chained, N, log):
     return extra
 
 
-def bench_cull(jax, jnp, pv, chained, N, log):
-    """Tight-cache culling A/B row.  Under the reference benchmark's
-    padding=1.0 every link grid covers the whole query range (measured
-    in-bounds (link, tile) fraction 0.99), so per-(link, tile) gather
-    culling cannot help the headline — the dense path is already at the
-    row-count roofline there.  This row rebuilds the same arm with
-    padding=0.1 (tight link grids, the realistic deployment shape where
-    most pairs ARE out of bounds) and measures dense vs culled
-    (``cull=``) on the same sweep."""
+def bench_tight(jax, jnp, pv, chained, N, log):
+    """Tight-cache row: the headline arm rebuilt with padding=0.1 (tight
+    link grids — the realistic deployment shape, where most (link, tile)
+    pairs are out of bounds and the per-pair work is dominated by the AABB
+    fallback).  Through round 3 this was the A/B row for the opt-in culled
+    union; that path measured 2.5x SLOWER than dense at in-bounds fraction
+    0.10 (`artifacts_r03/bench.json` `tight_*`) with a sparsity-independent
+    compaction front-end, so it was DELETED in r4 (see sdf.py's note).  The
+    dense tight row remains as the deployment-shape reference number."""
     import numpy as np
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
-                                            coherent_packed_bricks,
                                             compose_query_coherent)
-    from pytorch_volumetric_tpu.transforms import transform_points
     from pytorch_volumetric_tpu.utils.robots import make_serial_arm
 
     arm_dir = os.path.join(BENCH_DIR, "arm")
@@ -441,64 +439,33 @@ def bench_cull(jax, jnp, pv, chained, N, log):
                      dtype=jnp.float32)
     children = tuple(robot.sdf.sdfs)
     ft = coherent_fast_tables(children)
-    packed = coherent_packed_bricks(children)
-
-    # measure the true in-bounds fraction on an 8-config host-side subset to
-    # pick the budget (the in-graph dense fallback keeps an under-budget
-    # miss correct, just slow — and visibly so in the A/B numbers)
     robot.set_joint_configuration(th[:8])
     assert robot.sdf.check_coherent_contract(pts, seg=seg)
-    m8 = robot.sdf.obj_frame_to_link_frame.get_matrix()
-    S, F = len(children), pts.shape[0]
-    pa = np.asarray(transform_points(m8, pts)).reshape(S, 8, F, 3)
-    nv = nt = 0
-    for i, s in enumerate(children):
-        lo = np.asarray(s.voxels.lo, np.float32)
-        res = np.asarray(s.voxels.res, np.float32)
-        n = np.asarray(s.voxels.shape)
-        k = np.round((pa[i] - lo) / res)
-        valid = np.all((k >= 0) & (k < n), axis=-1)
-        nv += int(np.any(valid.reshape(8, F // seg, seg), axis=2).sum())
-        nt += 8 * (F // seg)
-    frac = nv / nt
-    budget = min(1.0, frac * 1.5 + 0.01)
-    log(f"tight-cache in-bounds (link, tile) fraction {frac:.3f} "
-        f"-> cull budget {budget:.3f}")
 
-    def make_query_sum(cull):
-        # cull is STATIC (it sizes the compaction buffer at trace time), so
-        # it is closure-captured per variant rather than passed as a jit arg
-        def query_sum(q, p, tables):
-            f, pk = tables
-            m, m_inv = robot._link_transforms(q)
-            v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
-                                          fast_tables=f, seg=seg, cull=cull,
-                                          packed_bricks=pk)
-            return v.sum() + g.sum()
-        return query_sum
+    def query_sum(q, p, f):
+        m, m_inv = robot._link_transforms(q)
+        v, g = compose_query_coherent(children, m, m_inv, q.shape[0], p,
+                                      fast_tables=f, seg=seg)
+        return v.sum() + g.sum()
 
     reps = chained.reps
-    extra = {"cull_in_bounds_fraction": round(frac, 3)}
-    for label, cull, tables in (("dense", None, (ft, None)),
-                                ("cull", budget, (ft, packed))):
-        query_sum = make_query_sum(cull)
-        fwd = chained(query_sum)
-        bwd = chained(lambda q, p, t: jax.grad(
-            lambda qq: query_sum(qq, p, t))(q).sum())
-        float(fwd(th, pts, tables))
-        t0 = time.perf_counter()
-        float(fwd(th, pts, tables))
-        fwd_s = (time.perf_counter() - t0) / reps
-        float(bwd(th, pts, tables))
-        t0 = time.perf_counter()
-        float(bwd(th, pts, tables))
-        bwd_s = (time.perf_counter() - t0) / reps
-        log(f"tight-cache {label}: fwd {fwd_s * 1e3:.2f} ms "
-            f"({N * M / fwd_s / 1e6:.1f}M q/s), fwd+bwd {bwd_s * 1e3:.2f} ms "
-            f"({N * M / bwd_s / 1e6:.1f}M q/s)")
-        extra[f"tight_{label}_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
-        extra[f"tight_{label}_forward_backward_qps_M"] = round(
-            N * M / bwd_s / 1e6, 1)
+    extra = {}
+    fwd = chained(query_sum)
+    bwd = chained(lambda q, p, f: jax.grad(
+        lambda qq: query_sum(qq, p, f))(q).sum())
+    float(fwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(fwd(th, pts, ft))
+    fwd_s = (time.perf_counter() - t0) / reps
+    float(bwd(th, pts, ft))
+    t0 = time.perf_counter()
+    float(bwd(th, pts, ft))
+    bwd_s = (time.perf_counter() - t0) / reps
+    log(f"tight-cache dense: fwd {fwd_s * 1e3:.2f} ms "
+        f"({N * M / fwd_s / 1e6:.1f}M q/s), fwd+bwd {bwd_s * 1e3:.2f} ms "
+        f"({N * M / bwd_s / 1e6:.1f}M q/s)")
+    extra["tight_dense_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
+    extra["tight_dense_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
     return extra
 
 

@@ -14,6 +14,7 @@ Usage: python benchmarks/neural.py [--steps 4000] [--bf16]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -114,6 +115,24 @@ def main():
     log(f"(exact cached coherent path on this workload: see bench.py; "
         f"dtype={'bf16' if args.bf16 else 'f32'}, width={args.width}, "
         f"depth={args.depth}, act={args.act})")
+
+    # one machine-readable line on STDOUT, like every other benchmark here
+    # (bench.py / northstar.py / bigmesh.py / scaling.py) — VERDICT r3 item 3
+    print(json.dumps({
+        "metric": "neural_robot_sdf_query_throughput",
+        "value": round(N * M / t, 1),
+        "unit": f"config-point queries/s value+grad ({N} configs x {M} pts)",
+        "extra": {
+            "value_grad_ms": round(t * 1e3, 2),
+            "value_only_ms": round(tv * 1e3, 2),
+            "value_only_qps_M": round(N * M / tv / 1e6, 1),
+            "rmse_overall": round(float(np.sqrt((err ** 2).mean())), 4),
+            "rmse_shell": round(float(np.sqrt((err[shell] ** 2).mean())), 4),
+            "act": args.act, "width": args.width, "depth": args.depth,
+            "steps": args.steps,
+            "dtype": "bf16" if args.bf16 else "f32",
+        },
+    }), flush=True)
 
 
 if __name__ == "__main__":

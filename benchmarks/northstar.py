@@ -39,10 +39,14 @@ def main():
                          "the 16 GB v5e sweet spot on the value-only brick "
                          "layout; on OOM the script automatically retries "
                          "with the next smaller divisor of --configs)")
-    ap.add_argument("--robot", choices=["arm", "drill"], default="arm",
+    ap.add_argument("--robot", choices=["arm", "drill", "mesh_arm"],
+                    default="arm",
                     help="'arm': procedural 7-DOF capsule arm (8 links); "
                          "'drill': the reference's 15,728-face YcbPowerDrill "
-                         "mesh as a free-6DOF object (mesh-real geometry)")
+                         "mesh as a free-6DOF object (mesh-real geometry); "
+                         "'mesh_arm': 8-link serial arm whose links are the "
+                         "reference's probe/wrench meshes (bench.py's "
+                         "mesh-real multi-link row at north-star scale)")
     args = ap.parse_args()
 
     import jax
@@ -69,6 +73,14 @@ def main():
                                                     object_name="drill")
         cache = os.path.join(BENCH_DIR, "sdf_cache_drill.npz")
         n_dof = 6
+    elif args.robot == "mesh_arm":
+        from pytorch_volumetric_tpu.utils.robots import make_mesh_arm
+        srcs = ["/root/reference/tests/probe.obj",
+                "/root/reference/tests/offset_wrench_nogrip.obj"]
+        d = os.path.join(BENCH_DIR, "mesh_arm")
+        urdf_path, end_link = make_mesh_arm(d, srcs, num_joints=7)
+        cache = os.path.join(BENCH_DIR, "sdf_cache_mesh_arm.npz")
+        n_dof = 7
     else:
         arm_dir = os.path.join(BENCH_DIR, "arm")
         urdf_path, end_link = make_serial_arm(arm_dir, num_joints=7)

@@ -202,8 +202,7 @@ class RobotSDF(sdf.ObjectFrameSDF):
         return fit_config_space_sdf(self, key, **fit_kwargs)
 
     def query_grid(self, joint_config, query_range, resolution,
-                   values_only: bool = False,
-                   cull: typing.Optional[float] = None):
+                   values_only: bool = False):
         """Fused differentiable query over a regular world-frame grid, routed
         through the segmented brick-gather fast path (one 4x4x4 voxel brick
         gather serves 4 grid points; ~3.5x fewer TPU gather rows than
@@ -215,10 +214,6 @@ class RobotSDF(sdf.ObjectFrameSDF):
         :param resolution: grid sweep step
         :param values_only: skip the gradient output (skips the winner rows;
             gradients stopped — collision checks / occupancy rasters)
-        :param cull: (link, tile) gather-culling budget as a fraction of all
-            pairs — skip brick gathers for tiles fully outside a link's grid
-            (see :func:`sdf.compose_query_coherent`); bit-identical results
-            (in-graph dense fallback on budget overflow)
         :return: ``(val [A x] n1 x n2 x n3, grad ... x 3)`` over the grid,
             or just ``val`` with ``values_only=True``
         """
@@ -264,31 +259,23 @@ class RobotSDF(sdf.ObjectFrameSDF):
         q_flat = (q.reshape(int(np.prod(q_batch)), 0) if q.shape[-1] == 0
                   else q.reshape(-1, q.shape[-1]))
         cache_attr = ("_query_grid_vjit" if values_only
-                      else "_query_grid_jit") + f"_s{seg}" + (
-                          f"_c{cull}" if cull is not None else "")
+                      else "_query_grid_jit") + f"_s{seg}"
         if getattr(self, cache_attr, None) is None:
             children = tuple(self.sdf.sdfs)
 
-            def fn(qf, pf, fast_tables, generic_aux, packed):
+            def fn(qf, pf, fast_tables, generic_aux):
                 m, m_inv = self._link_transforms(qf)
                 return compose_query_coherent(children, m, m_inv,
                                               qf.shape[0], pf,
                                               fast_tables=fast_tables,
                                               values_only=values_only,
                                               generic_aux=generic_aux,
-                                              seg=seg, cull=cull,
-                                              packed_bricks=packed)
+                                              seg=seg)
 
             setattr(self, cache_attr, jax.jit(fn))
-        packed = None
-        if cull is not None and not np.isinf(min_cache_res):
-            if self.sdf._packed_bricks is None:  # built once, reused
-                self.sdf._packed_bricks = sdf.coherent_packed_bricks(
-                    self.sdf.sdfs)
-            packed = self.sdf._packed_bricks
         out = getattr(self, cache_attr)(
             q_flat, pts, sdf.coherent_fast_tables(self.sdf.sdfs),
-            sdf.coherent_generic_aux(self.sdf.sdfs), packed)
+            sdf.coherent_generic_aux(self.sdf.sdfs))
         if values_only:
             return out[:, take_idx].reshape(q_batch + grid_shape)
         vv, gg = out

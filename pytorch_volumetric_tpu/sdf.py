@@ -662,8 +662,15 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     :func:`compose_query_coherent` can use the winner-row-free single-child
     layout (see :func:`_coherent_single_lookup`)."""
     fast = [s for s in children if _is_coherent_fast_child(s)]
-    return tuple(s._coherent_tables(with_grad_bricks=len(fast) == 1)
-                 for s in fast)
+    single = len(fast) == 1
+    tables = tuple(s._coherent_tables(with_grad_bricks=single) for s in fast)
+    if not single:
+        # A child may carry an in-place-upgraded bricks4 cache from an earlier
+        # SINGLE-child composition; multi-child unions never use it, so strip
+        # it here — otherwise the 32x-grid-memory table is threaded/replicated
+        # through every jit call as a dead argument (wasted HBM + transfer).
+        tables = tuple(t._replace(bricks4=None) for t in tables)
+    return tables
 
 
 def _is_coherent_fast_child(s) -> bool:
@@ -934,173 +941,15 @@ def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
     return lookup
 
 
-def coherent_packed_bricks(children: Sequence["ObjectFrameSDF"]) -> jnp.ndarray:
-    """All coherent-fast children's brick tables concatenated into ONE
-    ``[sum_NB, 64]`` device array (child order), for the CULLED union paths
-    (``cull_capacity``).  Build ONCE outside the jit and thread it through as
-    an argument — like :func:`coherent_fast_tables`, a captured constant at
-    this scale costs minutes of compile per retrace."""
-    return jnp.concatenate(
-        [s._coherent_tables().bricks for s in children
-         if _is_coherent_fast_child(s)], axis=0)
-
-
-def _coherent_union_culled(smalls: Sequence[_CoherentTables], seg: int,
-                           capacity: int, with_grad: bool):
-    """Shared engine of the CULLED coherent union: gather brick rows only for
-    the (child, tile) pairs with at least one in-bounds point.
-
-    Rationale: robot link caches are small relative to a workspace query
-    grid, so MOST (link, tile) pairs are fully out of bounds.  The dense
-    paths still *issue* one (deduplicated) gather row per pair — and TPU
-    gathers are issue-rate bound regardless of index locality, so the
-    row-0 dedup saves nothing.  Here the valid pairs are compacted with a
-    static-size ``jnp.nonzero``; only ``capacity`` rows are gathered, the
-    one-hot contraction runs on the compacted rows, and per-point results
-    are scattered back (unique, sorted indices).  Cost: ~3 row-ops per
-    compacted pair (meta gather + brick gather + result scatter) versus one
-    per (child, tile) pair dense — a win whenever the in-bounds fraction is
-    under ~1/3.
-
-    Exactness: when the number of valid pairs exceeds ``capacity`` the whole
-    evaluation falls back IN-GRAPH (``lax.cond``) to the dense contraction on
-    the same packed table, so results are bit-identical to the dense paths
-    for every input, never silently truncated.
-
-    Returns ``eval(pts_c [C, B, F, 3], big_bricks [sum_NB, 64])`` yielding
-    ``val [B, F]`` (``with_grad=False``), or ``eval(pts_c, big_bricks,
-    vg_cat)`` yielding ``(val, g_link, oh)`` like
-    :func:`_coherent_union_lookup`'s ``eval_union`` (``with_grad=True``;
-    the winner's gradient is one extra 16 B row per point from ``vg_cat``,
-    dense — per-point winner rows are issue-bound and cheap, so they are
-    not worth compacting)."""
-    C = len(smalls)
-    with jax.ensure_compile_time_eval():
-        iota64 = jnp.arange(64, dtype=jnp.int32)
-        off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
-        child_iota = jnp.arange(C, dtype=jnp.int32)
-    # static row offset of each child's bricks inside the packed table
-    brick_off = np.cumsum([0] + [int(t.bricks.shape[0]) for t in smalls])
-    vg_base = _coherent_vg_bases(smalls)
-
-    def eval_fn(pts_c, big_bricks, vg_cat=None):
-        B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // seg
-        N = C * B * FS
-        cap = min(capacity, N)
-        # -- elementwise front-end (identical math to the dense paths) ------
-        valids, oobs, metas, seg_valids, flats = [], [], [], [], []
-        for ci, t in enumerate(smalls):
-            p = pts_c[ci]
-            k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
-            valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
-            kc = jnp.clip(k, 0, t.n - 1)
-            ks = kc.reshape(B, FS, seg, 3)
-            corner2 = ks.min(axis=2) // 2
-            bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
-            seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
-            # global row in the packed table; invalid tiles redirect to the
-            # child's own row 0 exactly like the dense paths (only the dense
-            # fallback branch ever reads those)
-            gb = jnp.where(seg_valid, brick_off[ci] + bflat, brick_off[ci])
-            off = ks - (corner2 * 2)[:, :, None, :]
-            offf = jnp.sum(off * off_ravel, axis=-1)        # [B, FS, seg]
-            metas.append(jnp.concatenate([gb[..., None], offf], axis=-1))
-            valids.append(valid)
-            oobs.append(_aabb_distance_grad(t.bb, p))
-            seg_valids.append(seg_valid)
-            if with_grad:
-                flats.append(jnp.sum(kc * t.strides, axis=-1)
-                             + int(vg_base[ci]))
-        meta = jnp.stack(metas).reshape(N, 1 + seg)          # int32
-        mask = jnp.stack(seg_valids).reshape(N)
-
-        def culled(meta, mask, big_bricks):
-            idx = jnp.nonzero(mask, size=cap, fill_value=N)[0]
-            m = meta[jnp.minimum(idx, N - 1)]                # [cap, 1+seg]
-            rows = big_bricks[m[:, 0]]                       # [cap, 64]
-            oh64 = (m[:, 1:, None] == iota64).astype(pts_c.dtype)
-            # one-hot multiply-sum, NOT matmul: bit-identical to a row gather
-            v = jnp.sum(rows[:, None, :] * oh64, axis=2)     # [cap, seg]
-            buf = jnp.zeros((N, seg), dtype=pts_c.dtype)
-            return buf.at[idx].set(v, mode="drop")
-
-        def dense(meta, mask, big_bricks):
-            del mask
-            rows = big_bricks[meta[:, 0]]
-            oh64 = (meta[:, 1:, None] == iota64).astype(pts_c.dtype)
-            return jnp.sum(rows[:, None, :] * oh64, axis=2)
-
-        count = jnp.sum(mask.astype(jnp.int32))
-        v_all = jax.lax.cond(count <= cap, culled, dense,
-                             meta, mask, big_bricks)
-        v_all = v_all.reshape(C, B, F)
-        # -- min-union combine: same sequential order as the dense paths ----
-        best_v = best_i = best_flat = best_valid = best_g_oob = None
-        for ci in range(C):
-            v_oob, g_oob = oobs[ci]
-            v = jnp.where(valids[ci], v_all[ci], v_oob)
-            if best_v is None:
-                best_v = v
-                if with_grad:
-                    best_flat, best_valid = flats[ci], valids[ci]
-                    best_g_oob = g_oob
-                    best_i = jnp.zeros(v.shape, dtype=jnp.int32)
-            elif with_grad:
-                better = v < best_v
-                best_v = jnp.where(better, v, best_v)
-                best_flat = jnp.where(better, flats[ci], best_flat)
-                best_valid = jnp.where(better, valids[ci], best_valid)
-                best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
-                best_i = jnp.where(better, ci, best_i)
-            else:
-                best_v = jnp.minimum(best_v, v)
-        if not with_grad:
-            return best_v
-        oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
-        # single winner-row gather (see _coherent_union_lookup)
-        best_flat = jnp.where(best_valid, best_flat, 0)
-        g_in = vg_cat[best_flat][..., 1:4]
-        g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
-        return best_v, g_link, oh
-
-    return eval_fn
-
-
-def _coherent_union_values_culled(smalls: Sequence[_CoherentTables],
-                                  seg: int, capacity: int):
-    """Culled variant of :func:`_coherent_union_values`:
-    ``values(pts_c [C, B, F, 3], big_bricks [sum_NB, 64]) -> val [B, F]``.
-    Bit-identical results; see :func:`_coherent_union_culled`."""
-    return _coherent_union_culled(smalls, seg, capacity, with_grad=False)
-
-
-def _coherent_union_lookup_culled(smalls: Sequence[_CoherentTables],
-                                  big_sd: tuple, vg_sd: tuple,
-                                  seg: int, capacity: int):
-    """Culled variant of :func:`_coherent_union_lookup` (same custom-VJP
-    straight-through contract), taking the packed ``big_bricks`` array
-    instead of the per-child tuple.  ``big_sd`` / ``vg_sd``: (shape, dtype)
-    of ``big_bricks`` / ``vg_cat`` for the zero cotangents."""
-    eval_union = _coherent_union_culled(smalls, seg, capacity, with_grad=True)
-
-    @jax.custom_vjp
-    def lookup(pts_c, big_bricks, vg_cat):
-        return eval_union(pts_c, big_bricks, vg_cat)
-
-    def fwd(pts_c, big_bricks, vg_cat):
-        val, g_link, oh = eval_union(pts_c, big_bricks, vg_cat)
-        return (val, g_link, oh), (g_link, oh)
-
-    def bwd(residual, cotangents):
-        g_link, oh = residual
-        ct_val = cotangents[0]
-        d_pts = oh[..., None] * (ct_val[..., None] * g_link)[None]
-        return (d_pts, jnp.zeros(big_sd[0], big_sd[1]),
-                jnp.zeros(vg_sd[0], vg_sd[1]))
-
-    lookup.defvjp(fwd, bwd)
-    return lookup
+# NOTE (r4): the opt-in CULLED union (`cull_capacity` compaction of
+# out-of-bounds (child, tile) pairs via static-size jnp.nonzero) was DELETED
+# this round.  It was a hypothesis that never measured a win: at in-bounds
+# fraction 0.10 cull took 96-105 ms vs 38-40 ms dense (TPU v5e,
+# artifacts_r03/bench.json `tight_*` rows), and the loss decomposes as a
+# ~85 ms compaction front-end (nonzero + meta gather + scatter over ALL
+# pairs) that does not shrink with sparsity — so it cannot win at ANY
+# in-bounds fraction for a fixed pair count.  See ARCHITECTURE.md
+# "culled union (deleted)" and VERDICT r3 item 5.
 
 
 def coherent_generic_aux(children: Sequence["ObjectFrameSDF"]):
@@ -1117,8 +966,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                            obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
                            batch: int, points: jnp.ndarray,
                            fast_tables=None, values_only: bool = False,
-                           generic_aux=None, seg: int = COHERENT_SEG,
-                           cull: Optional[float] = None, packed_bricks=None):
+                           generic_aux=None, seg: int = COHERENT_SEG):
     """Min-union query like :func:`compose_query` but using the segmented
     brick-gather fast path for ``CachedSDF`` children.
 
@@ -1148,17 +996,6 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     gradient gather and its carries (~10% of the value+gradient cost at
     north-star scale).  Inference only: gradients through the result are STOPPED
     (collision checks / occupancy rasters don't need them).
-
-    ``cull``: when set, use the CULLED union (:func:`_coherent_union_culled`)
-    which gathers brick rows only for the (child, tile) pairs with an
-    in-bounds point — a win when link caches are small relative to the query
-    span so most pairs are out of bounds.  The value is the capacity as a
-    fraction of all (fast-child, tile) pairs; exceeding it falls back
-    in-graph to the dense contraction, so results stay bit-identical either
-    way.  Thread ``packed_bricks`` (:func:`coherent_packed_bricks`) through
-    your jit alongside it — when omitted it is concatenated from
-    ``fast_tables`` at trace time, which costs one full-table device copy
-    per call.
     """
     S = len(children)
     F = points.shape[0]
@@ -1209,29 +1046,18 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         # contract.  Only the big brick arrays stay arguments.
         with jax.ensure_compile_time_eval():
             smalls = [children[i]._coherent_tables() for i in fast]
-        cull_cap = None
-        if cull is not None:
-            cull_cap = max(1, math.ceil(cull * len(fast) * batch * (F // seg)))
-            if packed_bricks is None:
-                packed_bricks = jnp.concatenate(
-                    [t.bricks for t in tables], axis=0)
         if values_only:
             pts_fast = jax.lax.stop_gradient(
                 jnp.stack([pts_all[i] for i in fast]))
-            if cull_cap is not None:
-                values = _coherent_union_values_culled(smalls, seg, cull_cap)
-                best_v = values(pts_fast, packed_bricks)
-            else:
-                values = _coherent_union_values(smalls, seg=seg)
-                best_v = values(pts_fast, tuple(t.bricks for t in tables))
+            values = _coherent_union_values(smalls, seg=seg)
+            best_v = values(pts_fast, tuple(t.bricks for t in tables))
             for k, i in enumerate(generic):
                 v, _ = generic_query(
                     k, i,
                     jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
                 best_v = jnp.minimum(best_v, v.reshape(batch, F))
             return best_v
-        if (len(fast) == 1 and cull_cap is None
-                and tables[0].bricks4 is not None):
+        if len(fast) == 1 and tables[0].bricks4 is not None:
             # single cached child: no union to win, so skip the per-point
             # winner rows entirely — (value, gradient) ride one 4-channel
             # brick row per tile (see _coherent_single_lookup)
@@ -1250,21 +1076,13 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
             # robot) — far cheaper than the ~26% end-to-end cost of carrying
             # gradient channels inside the brick rows (_coherent_union_lookup).
             vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
-            if cull_cap is not None:
-                lookup = _coherent_union_lookup_culled(
-                    smalls, (packed_bricks.shape, packed_bricks.dtype),
-                    (vg_cat.shape, vg_cat.dtype), seg=seg, capacity=cull_cap)
-                val, g_link, oh = lookup(
-                    jnp.stack([pts_all[i] for i in fast]),
-                    packed_bricks, vg_cat)
-            else:
-                lookup = _coherent_union_lookup(
-                    smalls,
-                    [(t.bricks.shape, t.bricks.dtype) for t in tables],
-                    (vg_cat.shape, vg_cat.dtype), seg=seg)
-                val, g_link, oh = lookup(
-                    jnp.stack([pts_all[i] for i in fast]),
-                    tuple(t.bricks for t in tables), vg_cat)
+            lookup = _coherent_union_lookup(
+                smalls,
+                [(t.bricks.shape, t.bricks.dtype) for t in tables],
+                (vg_cat.shape, vg_cat.dtype), seg=seg)
+            val, g_link, oh = lookup(
+                jnp.stack([pts_all[i] for i in fast]),
+                tuple(t.bricks for t in tables), vg_cat)
             best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
             best_i = jnp.zeros(val.shape, dtype=jnp.int32)
             for ci, i in enumerate(fast):
@@ -1304,8 +1122,7 @@ class ComposedSDF(ObjectFrameSDF):
         self.link_frame_to_obj_frame: Optional[jnp.ndarray] = None
         self.tsf_batch = None
         self._compose_jit = None
-        self._coherent_jits = {}  # (values_only, seg, cull) -> jitted program
-        self._packed_bricks = None  # lazy coherent_packed_bricks(self.sdfs)
+        self._coherent_jits = {}  # (values_only, seg) -> jitted program
         self.set_transforms(obj_frame_to_each_frame)
 
     def set_transforms(self, tsf: Optional[tfm.Transform3d], batch_dim=None):
@@ -1399,8 +1216,7 @@ class ComposedSDF(ObjectFrameSDF):
         return True
 
     def query_coherent(self, points_in_object_frame, debug_check=False,
-                       values_only: bool = False, seg: int = COHERENT_SEG,
-                       cull: Optional[float] = None):
+                       values_only: bool = False, seg: int = COHERENT_SEG):
         """Like ``__call__`` but on spatially-coherent points (consecutive
         groups of ``seg`` points each landing in one 4x4x4 voxel brick; see
         :func:`compose_query_coherent`).  Bit-identical results, ``seg``-x
@@ -1411,10 +1227,7 @@ class ComposedSDF(ObjectFrameSDF):
         gradients stopped — inference only).  ``seg``: points per brick row —
         4 for classic raster lines (:func:`voxel.get_coherent_grid_points`),
         or the tile size returned by :func:`voxel.get_coherent_tile_points`
-        for multi-dimensional tiles (12/27 at the standard 2x ratio).
-        ``cull``: (child, tile) gather-culling budget as a fraction of all
-        pairs — see :func:`compose_query_coherent`; results stay
-        bit-identical (in-graph dense fallback on budget overflow)."""
+        for multi-dimensional tiles (12/27 at the standard 2x ratio)."""
         pts = as_float_array(points_in_object_frame)
         if debug_check and not self.check_coherent_contract(pts, seg=seg):
             raise ValueError(
@@ -1422,34 +1235,26 @@ class ComposedSDF(ObjectFrameSDF):
                 "spans more than its 4x4x4 voxel brick for some cached child); "
                 "use get_coherent_grid_points / get_coherent_tile_points or "
                 "the generic __call__ path")
-        key = (bool(values_only), int(seg),
-               float(cull) if cull is not None else None)
+        key = (bool(values_only), int(seg))
         if self._coherent_jits.get(key) is None:
             children = tuple(self.sdfs)
             B = self._batch
 
-            def fn(points, m, m_inv, fast_tables, generic_aux, packed):
+            def fn(points, m, m_inv, fast_tables, generic_aux):
                 return compose_query_coherent(children, m, m_inv, B, points,
                                               fast_tables=fast_tables,
                                               values_only=values_only,
                                               generic_aux=generic_aux,
-                                              seg=seg, cull=cull,
-                                              packed_bricks=packed)
+                                              seg=seg)
 
             self._coherent_jits[key] = jax.jit(fn)
-        packed = None
-        if cull is not None and any(_is_coherent_fast_child(s)
-                                    for s in self.sdfs):
-            if self._packed_bricks is None:
-                self._packed_bricks = coherent_packed_bricks(self.sdfs)
-            packed = self._packed_bricks
         # brick tables AND generic children's big tables ride in as
         # arguments, not captured constants (constants at that scale cost
         # minutes of compile per retrace)
         out = self._coherent_jits[key](
             pts, self.obj_frame_to_link_frame.get_matrix(),
             self.link_frame_to_obj_frame, coherent_fast_tables(self.sdfs),
-            coherent_generic_aux(self.sdfs), packed)
+            coherent_generic_aux(self.sdfs))
         F = pts.shape[0]
         if values_only:
             vv = out

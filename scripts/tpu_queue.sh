@@ -1,10 +1,16 @@
 #!/bin/bash
-# Round-3 TPU measurement queue (see TPU_STATUS_r03.md / VERDICT.md item 1).
+# Round-4 TPU measurement queue (see TPU_STATUS_r04.md / VERDICT r3 items 1-3).
 #
-# Runs the deferred TPU jobs IN ORDER, serialized, `python -u`, each under a
-# generous timeout (fresh compiles on axon can take 12+ min; see CLAUDE.md).
-# Everything is appended to tpu_queue_r03.log and per-job artifacts land in
-# artifacts_r03/.  Safe to re-run: jobs that already produced their artifact
+# ORDER MATTERS: the full test suite runs FIRST this round (VERDICT r3 item
+# 2) — the perf rows were captured in r3, the complete-on-silicon suite
+# record is the missing artifact, and Pallas-lowering/FMA-contraction bugs
+# are exactly the class interpret-mode CPU tests miss.  Budget 12000s
+# (measured rate: ~44 tests / 32 min over the tunnel).
+#
+# Runs the jobs IN ORDER, serialized, `python -u`, each under a generous
+# timeout (fresh compiles on axon can take 12+ min; see CLAUDE.md).
+# Everything is appended to tpu_queue_r04.log and per-job artifacts land in
+# artifacts_r04/.  Safe to re-run: jobs that already produced their artifact
 # are skipped (delete the artifact to re-measure).
 #
 # Usage:  bash scripts/tpu_queue.sh            # probe, then run the queue
@@ -14,8 +20,8 @@
 # TPU job's host-side compile — observed 20 min of zero bench output).
 set -u
 cd "$(dirname "$0")/.."
-LOG=tpu_queue_r03.log
-ART=artifacts_r03
+LOG=tpu_queue_r04.log
+ART=artifacts_r04
 mkdir -p "$ART"
 say() { echo "[tpu_queue $(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
 
@@ -45,22 +51,21 @@ run_job() {  # run_job <artifact> <budget_s> <cmd...>
   return $rc
 }
 
-# 1. Headline bench (probe already done above; skip bench's own subprocess
+# 1. FULL TEST SUITE FIRST — the one artifact r3 could not complete.
+run_job "$ART/pytest_tpu.txt" 12000 env PVT_TEST_TPU=1 python -u -m pytest tests/ -q
+
+# 2. Headline bench (probe already done above; skip bench's own subprocess
 #    probe so an intermittent tunnel doesn't double-charge the budget).
 PVT_BENCH_SKIP_PROBE=1 run_job "$ART/bench.json" 3000 python -u bench.py
 
-# 2. North-star: 200 configs x 1e6 points, arm then drill (27-pt tiles,
-#    adaptive chunk fallback).
+# 3. North-star: 200 configs x 1e6 points — arm, drill, mesh-real arm.
 run_job "$ART/northstar_arm.json" 3000 python -u benchmarks/northstar.py
 run_job "$ART/northstar_drill.json" 3000 python -u benchmarks/northstar.py --robot drill
+run_job "$ART/northstar_mesh_arm.json" 3600 python -u benchmarks/northstar.py --robot mesh_arm
 
-# 3. Narrow-band big-mesh sweep + neural rows.
+# 4. Narrow-band big-mesh sweep + neural rows (neural now prints its JSON
+#    line to stdout — VERDICT r3 item 3).
 run_job "$ART/bigmesh.json" 3000 python -u benchmarks/bigmesh.py
 run_job "$ART/neural.json" 3600 python -u benchmarks/neural.py
-
-# 4. Full test suite on the real TPU — LAST: measured ~44 tests/32 min on
-#    axon (fresh compiles per test over the tunnel), so the full 216-test
-#    suite needs ~3 h.  Record the tail into TPU_STATUS_r03.md afterwards.
-run_job "$ART/pytest_tpu.txt" 12000 env PVT_TEST_TPU=1 python -u -m pytest tests/ -q
 
 say "queue complete; artifacts in $ART/ — refresh PERF.md/README next"

@@ -292,9 +292,15 @@ def test_mixed_fast_generic_tie_break(tmp_path):
         # order (~1 ulp), so exact ties can differ between paths and the
         # winner — hence the gradient — may legitimately flip at tie points
         # where both children's gradients are valid subgradients.  Values
-        # must still agree to float tolerance.
+        # must still agree to float tolerance, and gradients must agree at
+        # every point where the children are NOT exactly tied (only genuine
+        # tie points are exempt from the winner-order contract).
         np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_g),
                                    atol=1e-6)
+        untied = np.asarray(v_p) != np.asarray(v_1)
+        assert int(untied.sum()) > 100  # the mask must leave real coverage
+        np.testing.assert_allclose(np.asarray(g_c)[untied],
+                                   np.asarray(g_g)[untied], atol=1e-5)
 
 
 def test_tile_points_construction():
