@@ -64,8 +64,12 @@ run_job "$ART/northstar_drill.json" 3000 python -u benchmarks/northstar.py --rob
 run_job "$ART/northstar_mesh_arm.json" 3600 python -u benchmarks/northstar.py --robot mesh_arm
 
 # 4. Narrow-band big-mesh sweep + neural rows (neural now prints its JSON
-#    line to stdout — VERDICT r3 item 3).
+#    line to stdout — VERDICT r3 item 3).  The relu run re-measures the
+#    README table's 329M-q/s headline row (r1 provenance) under the
+#    current code: relu 128x4, bf16 matmuls, r1 training config.
 run_job "$ART/bigmesh.json" 3000 python -u benchmarks/bigmesh.py
 run_job "$ART/neural.json" 3600 python -u benchmarks/neural.py
+run_job "$ART/neural_relu.json" 5400 python -u benchmarks/neural.py \
+  --act relu --bf16 --configs 1024 --steps 12000
 
 say "queue complete; artifacts in $ART/ — refresh PERF.md/README next"
