@@ -702,7 +702,9 @@ class _CoherentTables(NamedTuple):
     bricks: jnp.ndarray    # [NB, 64] overlapping 4x4x4 VALUE bricks
     bstrides: jnp.ndarray  # [3] int32 ravel strides of the brick grid
     bb: jnp.ndarray        # [3, 2] surface AABB for the out-of-bounds fallback
-    # [NB, 256] 4-channel (value, grad) bricks, cell-major channel-minor.
+    # [NB, 256] 4-channel (value, grad) bricks, CHANNEL-major
+    # ([v x64 | gx x64 | gy x64 | gz x64] per row — see
+    # _coherent_single_lookup / _build_coherent_tables).
     # Built ONLY for single-cached-child unions, where (value, gradient)
     # ride one 1 KB row per tile instead of a 256 B value row plus seg
     # 16 B winner rows (no union to win — see _coherent_single_lookup;
@@ -715,35 +717,44 @@ class _CoherentTables(NamedTuple):
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
                            seg: int = COHERENT_SEG):
     """Value-only variant of :func:`_coherent_union_lookup`:
-    ``values(pts_c [C, B, F, 3], bricks_list) -> val [B, F]``.  Skips the
-    winner-row gradient gather and every gradient-side carry (~10% of the
-    value+gradient cost under the value-brick layout) for inference-only
-    sweeps (collision checks, occupancy rasters).  Not differentiable
-    (callers stop gradients).  ``seg``: points per brick row (line segment
-    or tile size — see the module comment above COHERENT_SEG)."""
+    ``values(pts_c [C, B, FS, seg, 3], bricks_list) -> val [B, FS, seg]``.
+    Skips the winner-row gradient gather and every gradient-side carry
+    (~10% of the value+gradient cost under the value-brick layout) for
+    inference-only sweeps (collision checks, occupancy rasters).  Not
+    differentiable (callers stop gradients).  ``seg``: points per brick row
+    (line segment or tile size — see the module comment above COHERENT_SEG).
+
+    SHAPE CONVENTION (r4): the segment axis is EXPLICIT and SECOND-MINOR
+    (``[B, seg, FS]``) throughout.  Two TPU layout facts force this
+    (artifacts_r04/roofline_arm.json, full_stage_hlo.txt, engine_v2b.log):
+    (1) a ``[B, F] <-> [B, F//seg, seg]`` reshape is not a bitcast under
+    tiled layouts — XLA lowers each one as a chunked relayout while-loop,
+    ~9.5 ms per instance, ~294 ms of the r3 709 ms chunk forward; (2) a
+    minor ``seg`` axis pads to the 128-lane tile (27 -> 128, a 4.7x
+    memory/bandwidth bloat that OOMed the north-star chunk).  With ``seg``
+    second-minor it pads only to the 8-sublane tile (27 -> 32) and the
+    large FS axis fills the lanes.  Per-element math is unchanged
+    (bit-identical results); callers un-permute once at the end."""
     with jax.ensure_compile_time_eval():
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
 
     def values(pts_c, bricks_list):
-        B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // seg
         best_v = None
         for ci, t in enumerate(smalls):
-            p = pts_c[ci]
+            p = pts_c[ci]                                  # [B, seg, FS, 3]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
-            ks = kc.reshape(B, FS, seg, 3)
-            corner2 = ks.min(axis=2) // 2
+            corner2 = kc.min(axis=1) // 2                  # [B, FS, 3]
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
-            seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
+            seg_valid = jnp.any(valid, axis=1)
             bflat = jnp.where(seg_valid, bflat, 0)
-            rows = bricks_list[ci][bflat]                      # [B, FS, 64]
-            off = ks - (corner2 * 2)[:, :, None, :]
-            offf = jnp.sum(off * off_ravel, axis=-1)
+            rows = bricks_list[ci][bflat]                  # [B, FS, 64]
+            off = kc - (corner2 * 2)[:, None, :, :]
+            offf = jnp.sum(off * off_ravel, axis=-1)       # [B, seg, FS]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
-            v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
+            v_in = jnp.sum(rows[:, None, :, :] * oh64, axis=-1)
             v_oob, _ = _aabb_distance_grad(t.bb, p)
             v = jnp.where(valid, v_in, v_oob)
             best_v = v if best_v is None else jnp.minimum(best_v, v)
@@ -762,12 +773,17 @@ def _coherent_vg_bases(smalls: Sequence[_CoherentTables]) -> np.ndarray:
 def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
                            brick_sd: Sequence[tuple], vg_sd: tuple,
                            seg: int = COHERENT_SEG):
-    """Returns a custom-VJP function ``lookup(pts_c [C, B, F, 3],
-    bricks_list, vg_cat) -> (val [B, F], g_link [B, F, 3], oh [C, B, F])``
-    evaluating the min-union of the cached children with brick gathers;
-    ``g_link`` is the winner's gradient in the *winner's own frame* and
-    ``oh`` the winner one-hot (for rotating back and for the
-    straight-through VJP).
+    """Returns a custom-VJP function ``lookup(pts_c [C, B, seg, FS, 3],
+    bricks_list, vg_cat) -> (val [B, seg, FS], g_link [B, seg, FS, 3],
+    win [B, seg, FS] int32)`` evaluating the min-union of the cached
+    children with brick gathers; ``g_link`` is the winner's gradient in the
+    *winner's own frame* and ``win`` the winner's index into ``smalls``
+    (compact int32 instead of a ``[C, ..]`` float one-hot: 1/32 the residual
+    bytes for the straight-through VJP; callers build per-child masks with
+    ``win == ci``).  The segment axis stays explicit and second-minor
+    end-to-end — see :func:`_coherent_union_values` on why (``[B, F] <->
+    [B, FS, seg]`` reshapes are chunked relayout loops on TPU, ~40% of the
+    r3 north-star chunk time, and a minor seg axis pads 27 -> 128 lanes).
 
     The union's values come from one 256 B value-brick row per (child,
     ``seg``-point group); the winner's gradient comes from ONE extra 16 B
@@ -797,19 +813,16 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         child_iota = jnp.arange(C, dtype=jnp.int32)
 
     def eval_union(pts_c, bricks_list, vg_cat):
-        B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // seg
         best_v = best_i = best_flat = best_valid = best_g_oob = None
         for ci, t in enumerate(smalls):
-            p = pts_c[ci]
+            p = pts_c[ci]                                  # [B, seg, FS, 3]
             k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
             valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
             kc = jnp.clip(k, 0, t.n - 1)
             # int() keeps the python-int weak type: an np.int64 scalar would
             # promote the int32 flat index
             flat = jnp.sum(kc * t.strides, axis=-1) + int(bases[ci])
-            ks = kc.reshape(B, FS, seg, 3)
-            corner2 = ks.min(axis=2) // 2                      # brick coord
+            corner2 = kc.min(axis=1) // 2                  # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
             # segments with no in-bounds point all read brick 0: the gathered
             # row is discarded by the valid-select below, and the duplicated
@@ -817,16 +830,16 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             # link caches are small vs the query grid, so MOST (link, segment)
             # pairs take this lane (same trick as the generic path's
             # gather_nearest row-0 redirect).
-            seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
+            seg_valid = jnp.any(valid, axis=1)
             bflat = jnp.where(seg_valid, bflat, 0)
             rows = bricks_list[ci][bflat]                      # [B, FS, 64]
-            off = ks - (corner2 * 2)[:, :, None, :]            # in [0, 4)
-            offf = jnp.sum(off * off_ravel, axis=-1)           # [B, FS, SEG]
+            off = kc - (corner2 * 2)[:, None, :, :]            # in [0, 4)
+            offf = jnp.sum(off * off_ravel, axis=-1)           # [B, SEG, FS]
             oh64 = (offf[..., None] == iota64).astype(p.dtype)
             # one-hot multiply-sum, NOT einsum/matmul: exactly one term per
             # lane is nonzero, so the result is bit-identical to a direct
             # row gather (and immune to TPU bf16 matmul passes)
-            v_in = jnp.sum(rows[:, :, None, :] * oh64, axis=-1).reshape(B, F)
+            v_in = jnp.sum(rows[:, None, :, :] * oh64, axis=-1)
             # out-of-bounds: distance-to-AABB under-approximation, carrying
             # its gradient through the min-union so no per-point winner
             # reconstruction is needed afterwards
@@ -843,27 +856,31 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
                 best_valid = jnp.where(better, valid, best_valid)
                 best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
-        oh = (best_i[None] == child_iota[:, None, None]).astype(pts_c.dtype)
         # single winner-row gather for the gradient; points whose winner is
         # out of bounds use the AABB gradient anyway, so redirect them to
         # row 0 (duplicated address -> cache hit, not a scattered read)
         best_flat = jnp.where(best_valid, best_flat, 0)
         g_in = vg_cat[best_flat][..., 1:4]
         g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
-        return best_v, g_link, oh
+        return best_v, g_link, best_i
 
     @jax.custom_vjp
     def lookup(pts_c, bricks_list, vg_cat):
         return eval_union(pts_c, bricks_list, vg_cat)
 
     def fwd(pts_c, bricks_list, vg_cat):
-        val, g_link, oh = eval_union(pts_c, bricks_list, vg_cat)
-        return (val, g_link, oh), (g_link, oh)
+        val, g_link, win = eval_union(pts_c, bricks_list, vg_cat)
+        return (val, g_link, win), (g_link, win)
 
     def bwd(residual, cotangents):
-        g_link, oh = residual
+        g_link, win = residual
         ct_val = cotangents[0]
-        # straight-through: d val / d pts_c[ci] = onehot_ci * winner gradient
+        # straight-through: d val / d pts_c[ci] = (win == ci) * winner
+        # gradient; the one-hot is rebuilt from the compact int32 winner
+        # index here instead of being materialized as a [C, ..] float
+        # residual (32x fewer residual bytes for C=8)
+        oh = (win[None] == child_iota[:, None, None, None]).astype(
+            g_link.dtype)
         d_pts = oh[..., None] * (ct_val[..., None] * g_link)[None]
         # tables are data, not parameters: zero cotangents (DCE'd upstream;
         # shapes statically known at lookup-build time)
@@ -887,40 +904,44 @@ def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
     channels would be gathered for every LOSING child too, which measured
     26% slower end-to-end (see ``_coherent_union_lookup``).
 
-    Returns ``lookup(pts_c [1, B, F, 3], bricks4 [NB, 256]) -> (val [B, F],
-    g_link [B, F, 3], oh [1, B, F])`` — same output contract as the union
-    lookup (``oh`` is all-ones), bit-identical values/gradients to the
-    generic per-point path.  ``b4_sd``: (shape, dtype) of ``bricks4`` for
-    the zero cotangent."""
+    Returns ``lookup(pts_c [1, B, seg, FS, 3], bricks4 [NB, 256]) ->
+    (val [B, seg, FS], g_link [B, seg, FS, 3], win [B, seg, FS] int32)`` —
+    same output contract as the union lookup (``win`` is all-zeros),
+    bit-identical values/gradients to the generic per-point path.  The
+    segment axis stays explicit and second-minor (see
+    :func:`_coherent_union_values` on the TPU relayout/padding costs).
+    ``b4_sd``: (shape, dtype) of ``bricks4`` for the zero cotangent."""
     with jax.ensure_compile_time_eval():
         iota64 = jnp.arange(64, dtype=jnp.int32)
         off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
 
     def eval_single(pts_c, bricks4):
-        B, F = pts_c.shape[1], pts_c.shape[2]
-        FS = F // seg
-        p = pts_c[0]
+        B, FS = pts_c.shape[1], pts_c.shape[3]
+        p = pts_c[0]                                        # [B, seg, FS, 3]
         k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
         valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
         kc = jnp.clip(k, 0, t.n - 1)
-        ks = kc.reshape(B, FS, seg, 3)
-        corner2 = ks.min(axis=2) // 2
+        corner2 = kc.min(axis=1) // 2
         bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
-        seg_valid = jnp.any(valid.reshape(B, FS, seg), axis=2)
+        seg_valid = jnp.any(valid, axis=1)
         bflat = jnp.where(seg_valid, bflat, 0)
-        rows = bricks4[bflat].reshape(B, FS, 64, 4)
-        off = ks - (corner2 * 2)[:, :, None, :]
-        offf = jnp.sum(off * off_ravel, axis=-1)            # [B, FS, SEG]
-        oh64 = (offf[..., None] == iota64).astype(p.dtype)  # [B, FS, SEG, 64]
+        rows = bricks4[bflat]                               # [B, FS, 256]
+        off = kc - (corner2 * 2)[:, None, :, :]
+        offf = jnp.sum(off * off_ravel, axis=-1)            # [B, SEG, FS]
+        oh64 = (offf[..., None] == iota64).astype(p.dtype)  # [B, SEG, FS, 64]
         # one-hot multiply-sum (exactly one nonzero term): bit-identical to
-        # a per-point row gather, immune to TPU bf16 matmul passes
-        vg = jnp.sum(rows[:, :, None, :, :] * oh64[..., None], axis=3)
-        vg = vg.reshape(B, F, 4)
+        # a per-point row gather, immune to TPU bf16 matmul passes.  bricks4
+        # rows are CHANNEL-MAJOR ([v x64 | gx x64 | gy x64 | gz x64]) so each
+        # channel is a contiguous minor-dim slice — no [.., 64, 4] minor-dim
+        # split (which would relayout and run 4-wide in the 128 lanes).
+        chans = [jnp.sum(rows[:, None, :, c * 64:(c + 1) * 64] * oh64,
+                         axis=-1) for c in range(4)]        # 4 x [B, SEG, FS]
         v_oob, g_oob = _aabb_distance_grad(t.bb, p)
-        val = jnp.where(valid, vg[..., 0], v_oob)
-        g_link = jnp.where(valid[..., None], vg[..., 1:4], g_oob)
-        oh = jnp.ones((1, B, F), dtype=pts_c.dtype)
-        return val, g_link, oh
+        val = jnp.where(valid, chans[0], v_oob)
+        g_link = jnp.where(valid[..., None],
+                           jnp.stack(chans[1:4], axis=-1), g_oob)
+        win = jnp.zeros((B, seg, FS), dtype=jnp.int32)
+        return val, g_link, win
 
     @jax.custom_vjp
     def lookup(pts_c, bricks4):
@@ -1001,8 +1022,25 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
     F = points.shape[0]
     if F % seg:
         raise ValueError(f"points count {F} must be a multiple of seg={seg}")
-    pts_all = tfm.transform_points(obj_to_link, points).reshape(S, batch, F, 3)
+    FS = F // seg
+    # transform with the segment axis ALREADY split AND second-minor:
+    # [B, F] <-> [B, FS, seg] reshapes are chunked relayout while-loops on
+    # TPU (~9.5 ms each at north-star scale — artifacts_r04/
+    # full_stage_hlo.txt), and a minor seg axis pads to the 128-lane tile
+    # (27 -> 128: 4.7x memory, OOMed the north-star chunk — engine_v2b.log),
+    # so the engine works on [.., seg, FS] shapes end-to-end; only the
+    # generic-child and final-output paths ever pay a relayout.  Permuting
+    # the POINTS input here is one 12 MB transpose and the broadcasted
+    # transform math is elementwise-identical to the flat version
+    # (bit-exact).
+    pts_sm = jnp.swapaxes(points.reshape(FS, seg, 3), 0, 1)  # [seg, FS, 3]
+    pts_all = tfm.transform_points(obj_to_link[:, None], pts_sm).reshape(
+        S, batch, seg, FS, 3)
     R_back = link_to_obj.reshape(S, batch, 4, 4)[..., :3, :3]
+
+    def unflatten(x_sm, trailing=()):
+        # [B, seg, FS(, 3)] engine output -> the caller-facing [B, F(, 3)]
+        return jnp.swapaxes(x_sm, 1, 2).reshape((batch, F) + trailing)
 
     fast = [i for i, s in enumerate(children) if _is_coherent_fast_child(s)]
     generic = [i for i in range(S) if i not in fast]
@@ -1022,9 +1060,9 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         for k, i in enumerate(generic):
             v, _ = generic_query(
                 k, i, jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
-            v = v.reshape(batch, F)
+            v = v.reshape(batch, seg, FS)
             best_v = v if best_v is None else jnp.minimum(best_v, v)
-        return best_v
+        return unflatten(best_v)
 
     best_v = best_g = best_i = None
     if fast:
@@ -1055,8 +1093,8 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 v, _ = generic_query(
                     k, i,
                     jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
-                best_v = jnp.minimum(best_v, v.reshape(batch, F))
-            return best_v
+                best_v = jnp.minimum(best_v, v.reshape(batch, seg, FS))
+            return unflatten(best_v)
         if len(fast) == 1 and tables[0].bricks4 is not None:
             # single cached child: no union to win, so skip the per-point
             # winner rows entirely — (value, gradient) ride one 4-channel
@@ -1066,7 +1104,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 seg=seg)
             val, g_link, _ = lookup(pts_all[fast[0]][None], tables[0].bricks4)
             best_v = val
-            best_g = tfm.rotate_vectors(R_back[fast[0]], g_link)
+            best_g = tfm.rotate_vectors(R_back[fast[0]][:, None], g_link)
             best_i = jnp.full(val.shape, fast[0], dtype=jnp.int32)
         else:
             # winner-gradient rows: the children's packed [G, 4] tables
@@ -1080,20 +1118,22 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 smalls,
                 [(t.bricks.shape, t.bricks.dtype) for t in tables],
                 (vg_cat.shape, vg_cat.dtype), seg=seg)
-            val, g_link, oh = lookup(
+            val, g_link, win = lookup(
                 jnp.stack([pts_all[i] for i in fast]),
                 tuple(t.bricks for t in tables), vg_cat)
             best_g = jnp.zeros(g_link.shape, dtype=g_link.dtype)
             best_i = jnp.zeros(val.shape, dtype=jnp.int32)
             for ci, i in enumerate(fast):
-                g_rot = tfm.rotate_vectors(R_back[i], g_link)
-                best_g = best_g + oh[ci][..., None] * g_rot
-                best_i = jnp.where(oh[ci] > 0.5, i, best_i)
+                mask = win == ci
+                g_rot = tfm.rotate_vectors(R_back[i][:, None], g_link)
+                best_g = jnp.where(mask[..., None], g_rot, best_g)
+                best_i = jnp.where(mask, i, best_i)
             best_v = val
     for k, i in enumerate(generic):
         v, g = generic_query(k, i, pts_all[i].reshape(batch * F, 3))
-        v = v.reshape(batch, F)
-        g = tfm.rotate_vectors(R_back[i], g.reshape(batch, F, 3))
+        v = v.reshape(batch, seg, FS)
+        g = tfm.rotate_vectors(R_back[i][:, None],
+                               g.reshape(batch, seg, FS, 3))
         if best_v is None:
             best_v, best_g = v, g
             best_i = jnp.full(v.shape, i, dtype=jnp.int32)
@@ -1105,7 +1145,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
             best_v = jnp.where(better, v, best_v)
             best_g = jnp.where(better[..., None], g, best_g)
             best_i = jnp.where(better, i, best_i)
-    return best_v, best_g
+    return unflatten(best_v), unflatten(best_g, (3,))
 
 
 class ComposedSDF(ObjectFrameSDF):
@@ -1584,8 +1624,14 @@ class CachedSDF(ObjectFrameSDF):
             bricks4 = None
             if with_grad_bricks:
                 vol4 = self._vg.reshape(tuple(int(d) for d in n) + (4,))
-                bricks4 = self._brick_expand(
+                b4 = self._brick_expand(
                     jnp.pad(vol4, pad_spec + [(0, 0)]), nb)
+                # channel-major rows [v x64 | gx x64 | gy x64 | gz x64]:
+                # lets the lookup slice each channel contiguously instead
+                # of splitting the row minor dim 256 -> (64, 4) (a TPU
+                # relayout + 4-wide lane waste; see _coherent_single_lookup)
+                bricks4 = jnp.swapaxes(
+                    b4.reshape(-1, 64, 4), 1, 2).reshape(-1, 256)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
