@@ -73,3 +73,9 @@ run_job "$ART/neural_relu.json" 5400 python -u benchmarks/neural.py \
   --act relu --bf16 --configs 1024 --steps 12000
 
 say "queue complete; artifacts in $ART/ — refresh PERF.md/README next"
+
+# 5. r4 extras: Pallas sweep MFU A/B (VERDICT item 7) and the trilinear
+#    cliff row (item 8).
+run_job "$ART/pallas_mfu.json" 2400 python -u benchmarks/pallas_mfu.py
+run_job "$ART/trilinear.json" 2400 python -u benchmarks/trilinear.py
+say "r4 extras complete"
