@@ -53,21 +53,30 @@ def main():
     log(f"devices: {jax.devices()}")
 
     # ---- 1. empirical VPU f32 peak ------------------------------------
+    # Register-sized blocks ([8, 128] per accumulator), 8 independent
+    # chains, 32 statically-unrolled FMAs per fori iteration: a single
+    # dependent chain measures FMA *latency* (0.46 TF/s) and big blocks
+    # spill accumulators to VMEM (0.65 TF/s); this version keeps the
+    # dataflow in vector registers.
     K = args.fma_iters
-    ROWS, COLS = 256, 512
+    ROWS, COLS = 8, 128
+    UNROLL = 32
 
     def fma_kernel(x_ref, y_ref, o_ref):
         a = x_ref[...]
         b = y_ref[...]
-        acc = jnp.zeros_like(a)
+        accs = tuple(a * (0.1 * (i + 1)) for i in range(8))
 
-        def body(_, acc):
-            # two dependent FMAs per iteration, 2 flops each
-            acc = acc * a + b
-            acc = acc * b + a
-            return acc
+        def body(_, accs):
+            for _ in range(UNROLL // 8):
+                accs = tuple(acc * a + b for acc in accs)
+            return accs
 
-        o_ref[...] = jax.lax.fori_loop(0, K, body, acc)
+        accs = jax.lax.fori_loop(0, K, body, accs)
+        out = accs[0]
+        for acc in accs[1:]:
+            out = out + acc
+        o_ref[...] = out
 
     @jax.jit
     def fma_run(x, y):
@@ -82,9 +91,10 @@ def main():
     x = jnp.asarray(rng.uniform(0.5, 0.9, (ROWS, COLS)), dtype=jnp.float32)
     y = jnp.asarray(rng.uniform(0.01, 0.1, (ROWS, COLS)), dtype=jnp.float32)
     t = device_time(fma_run, x, y, reps=args.reps)
-    peak_flops = 4.0 * K * ROWS * COLS / t  # 2 FMAs x 2 flops per element-iter
+    # 8 chains x (UNROLL // 8) FMAs x 2 flops per element-iteration
+    peak_flops = 2.0 * UNROLL * K * ROWS * COLS / t
     log(f"empirical VPU f32 peak: {peak_flops / 1e12:.3f} TFLOP/s "
-        f"({t * 1e3:.2f} ms for {K} x 2 FMAs on [{ROWS},{COLS}])")
+        f"({t * 1e3:.2f} ms for {K} x {UNROLL} FMAs on [{ROWS},{COLS}])")
 
     # ---- 2. the exact sweep at several tile shapes --------------------
     drill = ("/root/reference/tests/YcbPowerDrill/"

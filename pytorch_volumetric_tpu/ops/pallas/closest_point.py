@@ -31,8 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pytorch_volumetric_tpu.mesh import PAD_COORD
 from pytorch_volumetric_tpu.utils.batching import cdiv
 
-DEFAULT_POINT_TILE = 256
-DEFAULT_TRI_TILE = 512
+# r4 tile A/B on the YcbPowerDrill sweep (artifacts_r04/pallas_mfu.json):
+# (512, 1024) measured 12.93G point-tri pairs/s vs 12.08G at the old
+# (256, 512) — bigger tiles amortize the per-step accumulator update and
+# tri-tile streaming overhead; larger still gains nothing (VMEM pressure).
+DEFAULT_POINT_TILE = 512
+DEFAULT_TRI_TILE = 1024
 
 _FOUR_PI = 12.566370614359172
 

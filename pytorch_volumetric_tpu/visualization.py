@@ -20,12 +20,13 @@ from pytorch_volumetric_tpu import model_to_sdf
 
 
 def fmt(x):
-    s = f"{x:.1f}"
-    if s.endswith("0"):
-        s = f"{x:.0f}"
+    """Contour-label formatter: the zero level reads "surface", other
+    levels print with one decimal unless that decimal is zero (behavioral
+    contract of the reference's clabel formatting, visualization.py:12-18;
+    pinned by tests/test_visualization.py)."""
     if x == 0:
         return "surface"
-    return f"{s}"
+    return f"{x:.0f}" if float(f"{x:.1f}").is_integer() else f"{x:.1f}"
 
 
 def draw_sdf_slice(s: sdf_mod.ObjectFrameSDF, query_range, resolution=0.01,
