@@ -85,19 +85,24 @@ def main():
         lambda p, a: sum(x.sum() for x in trilin.raw_query_with(a, p)),
         pts_r, aux_t)
 
-    # coherent tiled sweep through a single-child composition (the fast
-    # path trilinear cannot take)
-    comp = pv.ComposedSDF([nearest],
-                          pv.Transform3d(matrix=jnp.eye(4)[None]))
+    # coherent tiled sweeps through single-child compositions: nearest
+    # (4-channel 4x4x4 bricks) and trilinear (4-channel 5x5x5 bricks,
+    # _coherent_single_trilinear_lookup — new in r4)
     from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
                                             compose_query_coherent)
-    ft = coherent_fast_tables(comp.sdfs)
-    m = comp.obj_frame_to_link_frame.get_matrix()
-    m_inv = comp.link_frame_to_obj_frame
-    row("nearest_coherent",
-        lambda p, f: sum(x.sum() for x in compose_query_coherent(
-            tuple(comp.sdfs), m, m_inv, 1, p, fast_tables=f, seg=seg)),
-        pts_c, ft, n=pts_c.shape[0])
+    for label, child in (("nearest_coherent", nearest),
+                         ("trilinear_coherent", trilin)):
+        comp = pv.ComposedSDF([child],
+                              pv.Transform3d(matrix=jnp.eye(4)[None]))
+        ft = coherent_fast_tables(comp.sdfs)
+        m = comp.obj_frame_to_link_frame.get_matrix()
+        m_inv = comp.link_frame_to_obj_frame
+        ch = tuple(comp.sdfs)
+        row(label,
+            lambda p, f, ch=ch, m=m, m_inv=m_inv: sum(
+                x.sum() for x in compose_query_coherent(
+                    ch, m, m_inv, 1, p, fast_tables=f, seg=seg)),
+            pts_c, ft, n=pts_c.shape[0])
 
     print(json.dumps({
         "metric": "trilinear_vs_nearest",

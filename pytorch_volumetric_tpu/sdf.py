@@ -660,7 +660,13 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     When exactly ONE child takes the fast path, its tables additionally
     carry the 4-channel gradient bricks (``bricks4``) so
     :func:`compose_query_coherent` can use the winner-row-free single-child
-    layout (see :func:`_coherent_single_lookup`)."""
+    layout (see :func:`_coherent_single_lookup`).  A composition whose ONE
+    child is a trilinear BOUNDING_BOX cache gets the 5x5x5 ``bricks5``
+    table for the trilinear fast path instead
+    (:func:`_coherent_single_trilinear_lookup`)."""
+    tri = _coherent_single_trilinear_child(children)
+    if tri is not None:
+        return (tri._coherent_tables(with_tri_bricks=True),)
     fast = [s for s in children if _is_coherent_fast_child(s)]
     single = len(fast) == 1
     tables = tuple(s._coherent_tables(with_grad_bricks=single) for s in fast)
@@ -687,7 +693,12 @@ def coherent_min_cache_resolution(children) -> Optional[float]:
     ``children``, or ``None`` when there are none — the ``cache_resolution``
     to hand :func:`voxel.get_coherent_tile_points` when building a tiled
     sweep over these children (the ONE definition of 'which ratio governs
-    tile safety'; every tile-path consumer must use it)."""
+    tile safety'; every tile-path consumer must use it).  A single
+    trilinear child counts too: the trilinear fast path shares the same
+    per-axis span bound (see :func:`_coherent_single_trilinear_lookup`)."""
+    tri = _coherent_single_trilinear_child(children)
+    if tri is not None:
+        return float(tri.resolution)
     vals = [float(s.resolution) for s in children
             if _is_coherent_fast_child(s)]
     return min(vals) if vals else None
@@ -712,6 +723,14 @@ class _CoherentTables(NamedTuple):
     # multi-child unions, where carrying gradient channels in every
     # (child, tile) row measured 26% slower end-to-end.
     bricks4: Optional[jnp.ndarray] = None
+    # [NB, 512] 4-channel 5x5x5 bricks for the single-child TRILINEAR fast
+    # path, channel-major with each 125-cell channel padded to 128 lanes
+    # ([v x128 | gx x128 | gy x128 | gz x128]).  Same stride-2 anchors and
+    # bstrides as the 4x4x4 bricks: the tile contract bounds the clipped
+    # floor-key span by 2, so the 8 interpolation corners span <= 4 cells
+    # per dim — always inside a 5-window at anchor 2*floor(min/2) (see
+    # _coherent_single_trilinear_lookup).
+    bricks5: Optional[jnp.ndarray] = None
 
 
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
@@ -962,6 +981,117 @@ def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
     return lookup
 
 
+def _is_coherent_trilinear_child(s) -> bool:
+    """True iff ``s`` is eligible for the single-child TRILINEAR brick fast
+    path (trilinear BOUNDING_BOX CachedSDF)."""
+    return (isinstance(s, CachedSDF)
+            and s.out_of_bounds_strategy == OutOfBoundsStrategy.BOUNDING_BOX
+            and s.interpolation == "trilinear")
+
+
+def _coherent_single_trilinear_child(children):
+    """The lone child iff the composition is a SINGLE trilinear
+    BOUNDING_BOX ``CachedSDF`` — the only composition the trilinear brick
+    fast path serves (multi-child unions evaluate trilinear children on
+    the generic per-point path, where carrying 8 corner rows per losing
+    child would dwarf the nearest path's cost) — else ``None``."""
+    if len(children) == 1 and _is_coherent_trilinear_child(children[0]):
+        return children[0]
+    return None
+
+
+def _coherent_single_trilinear_lookup(t: _CoherentTables, b5_sd: tuple,
+                                      seg: int = COHERENT_SEG,
+                                      values_only: bool = False):
+    """Single-child TRILINEAR variant of :func:`_coherent_single_lookup`:
+    one 2 KB 5x5x5 4-channel brick row per ``seg``-point tile replaces the
+    generic trilinear path's EIGHT 16 B corner rows per point (measured
+    15.3M q/s — `artifacts_r04/trilinear.json`).  The tile contract's
+    per-axis span bound (< 2 voxels) caps the clipped floor-key span at 2,
+    so the 8 interpolation corners span <= 4 cells per dim and always fit
+    the 5-window at anchor ``2*floor(min_key/2)`` (either anchor parity).
+
+    Per-point extraction builds ONE 128-lane one-hot at the point's base
+    cell offset (base-5 ravel, <= 93) and reads each corner via a static
+    lane roll of the channel slice — corner offsets are compile-time
+    deltas {0,1,5,6,25,26,30,31}, and ``base + delta <= 124 < 125`` keeps
+    every selected lane inside the real 125 cells.  The lerp accumulation
+    mirrors ``gather_trilinear``'s exact corner order and weight-product
+    order, so results equal the generic path's bit-for-bit (up to the sign
+    of zero, which ``==`` ignores).
+
+    Returns ``lookup(pts_c [1, B, seg, FS, 3], bricks5 [NB, 512]) ->
+    (val [B, seg, FS], g_link [B, seg, FS, 3], win [B, seg, FS] int32)``
+    with the union-lookup output contract, or just ``val`` with
+    ``values_only=True`` (not differentiable; callers stop gradients).
+    ``b5_sd``: (shape, dtype) of ``bricks5`` for the zero cotangent."""
+    with jax.ensure_compile_time_eval():
+        iota128 = jnp.arange(128, dtype=jnp.int32)
+
+    nchan = 1 if values_only else 4
+
+    def eval_single(pts_c, bricks5):
+        B, FS = pts_c.shape[1], pts_c.shape[3]
+        p = pts_c[0]                                    # [B, seg, FS, 3]
+        f = (p - t.lo) / t.res
+        # validity and cell selection mirror gather_trilinear exactly
+        keys = jnp.round(f).astype(jnp.int32)
+        valid = jnp.all((keys >= 0) & (keys < t.n), axis=-1)
+        fc = jnp.clip(f, 0.0, (t.n - 1).astype(p.dtype))
+        i0 = jnp.clip(jnp.floor(fc).astype(jnp.int32), 0, t.n - 2)
+        w = fc - i0.astype(p.dtype)                     # [B, seg, FS, 3]
+        corner2 = i0.min(axis=1) // 2                   # [B, FS, 3]
+        bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
+        seg_valid = jnp.any(valid, axis=1)
+        bflat = jnp.where(seg_valid, bflat, 0)
+        rows = bricks5[bflat]                           # [B, FS, 512]
+        off = i0 - (corner2 * 2)[:, None, :, :]         # in [0, 4] per dim
+        off5 = off[..., 0] * 25 + off[..., 1] * 5 + off[..., 2]
+        oh = (off5[..., None] == iota128).astype(p.dtype)
+        accs = [jnp.zeros(p.shape[:-1], p.dtype) for _ in range(nchan)]
+        for corner in range(8):
+            offs = [(corner >> d) & 1 for d in range(3)]
+            delta = offs[0] * 25 + offs[1] * 5 + offs[2]
+            # weight product in gather_trilinear's reduce order (x, y, z)
+            wt = ((w[..., 0] if offs[0] else 1.0 - w[..., 0])
+                  * (w[..., 1] if offs[1] else 1.0 - w[..., 1]))
+            wt = wt * (w[..., 2] if offs[2] else 1.0 - w[..., 2])
+            for c in range(nchan):
+                ch = rows[:, None, :, c * 128:(c + 1) * 128]
+                cell = jnp.sum(jnp.roll(ch, -delta, axis=-1) * oh, axis=-1)
+                accs[c] = accs[c] + wt * cell
+        v_oob, g_oob = _aabb_distance_grad(t.bb, p)
+        val = jnp.where(valid, accs[0], v_oob)
+        if values_only:
+            return val
+        g_link = jnp.where(valid[..., None],
+                           jnp.stack(accs[1:4], axis=-1), g_oob)
+        win = jnp.zeros((B, seg, FS), dtype=jnp.int32)
+        return val, g_link, win
+
+    if values_only:
+        return eval_single
+
+    @jax.custom_vjp
+    def lookup(pts_c, bricks5):
+        return eval_single(pts_c, bricks5)
+
+    def fwd(pts_c, bricks5):
+        val, g_link, win = eval_single(pts_c, bricks5)
+        return (val, g_link, win), (g_link,)
+
+    def bwd(residual, cotangents):
+        (g_link,) = residual
+        ct_val = cotangents[0]
+        # straight-through: d val / d pts_c[0] = interpolated gradient field
+        # (same contract as the generic trilinear path's custom VJP)
+        d_pts = (ct_val[..., None] * g_link)[None]
+        return (d_pts, jnp.zeros(b5_sd[0], b5_sd[1]))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
 # NOTE (r4): the opt-in CULLED union (`cull_capacity` compaction of
 # out-of-bounds (child, tile) pairs via static-size jnp.nonzero) was DELETED
 # this round.  It was a hypothesis that never measured a win: at in-bounds
@@ -1054,6 +1184,31 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         if generic_aux[k] is None:
             return children[i].raw_query(pts_flat)
         return children[i].raw_query_with(generic_aux[k], pts_flat)
+
+    # single trilinear child: the 5x5x5 brick fast path (one 2 KB row per
+    # tile instead of 8 corner rows per point — _coherent_single_trilinear_
+    # lookup).  Routed before the nearest-fast machinery: the trilinear
+    # child classifies as "generic" above but never reaches that path here.
+    tri_child = _coherent_single_trilinear_child(children)
+    if tri_child is not None:
+        if (fast_tables is not None and len(fast_tables) == 1
+                and fast_tables[0].bricks5 is not None):
+            b5 = fast_tables[0].bricks5
+        else:
+            b5 = tri_child._coherent_tables(with_tri_bricks=True).bricks5
+        with jax.ensure_compile_time_eval():
+            small = tri_child._coherent_tables()
+        if values_only:
+            values = _coherent_single_trilinear_lookup(
+                small, (b5.shape, b5.dtype), seg=seg, values_only=True)
+            val = values(jax.lax.stop_gradient(pts_all[0][None]),
+                         jax.lax.stop_gradient(b5))
+            return unflatten(val)
+        lookup = _coherent_single_trilinear_lookup(
+            small, (b5.shape, b5.dtype), seg=seg)
+        val, g_link, _ = lookup(pts_all[0][None], b5)
+        g = tfm.rotate_vectors(R_back[0][:, None], g_link)
+        return unflatten(val), unflatten(g, (3,))
 
     if values_only and not fast:
         best_v = None
@@ -1238,8 +1393,9 @@ class ComposedSDF(ObjectFrameSDF):
         if F % seg:
             return False
         pts_all = np.asarray(tfm.transform_points(m, pts)).reshape(S, B, F, 3)
+        tri = _coherent_single_trilinear_child(self.sdfs)
         for i, s in enumerate(self.sdfs):
-            if not _is_coherent_fast_child(s):
+            if not (_is_coherent_fast_child(s) or s is tri):
                 continue
             # only the tiny grid fields are needed — do NOT trigger the lazy
             # 8x brick-table device build just to gate the fast path (f32
@@ -1247,7 +1403,18 @@ class ComposedSDF(ObjectFrameSDF):
             lo = np.asarray(s.voxels.lo, dtype=np.float32)
             res = np.asarray(s.voxels.res, dtype=np.float32)
             n = np.asarray(s.voxels.shape)
-            k = np.round((pts_all[i] - lo) / res)
+            f = (pts_all[i] - lo) / res
+            if s is tri:
+                # trilinear: the 8 interpolation corners of the clipped
+                # floor cell must fit the 5-window at the stride-2 anchor
+                fc = np.clip(f, 0.0, (n - 1).astype(np.float32))
+                i0 = np.clip(np.floor(fc), 0, n - 2).astype(np.int64)
+                ks = i0.reshape(B, F // seg, seg, 3)
+                corner = 2 * (ks.min(axis=2) // 2)
+                if (ks.max(axis=2) + 1 - corner).max() > 4:
+                    return False
+                continue
+            k = np.round(f)
             kc = np.clip(k, 0, n - 1).astype(np.int64)
             ks = kc.reshape(B, F // seg, seg, 3)
             corner = 2 * (ks.min(axis=2) // 2)
@@ -1569,8 +1736,8 @@ class CachedSDF(ObjectFrameSDF):
     def raw_query_with(self, aux, points):
         return self._raw_aux(aux, points)
 
-    def _coherent_tables(self, with_grad_bricks: bool = False) \
-            -> _CoherentTables:
+    def _coherent_tables(self, with_grad_bricks: bool = False,
+                         with_tri_bricks: bool = False) -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
         of VALUE cells at stride 2 per dimension (gradients come from a
@@ -1578,32 +1745,39 @@ class CachedSDF(ObjectFrameSDF):
         _coherent_union_lookup).  ``with_grad_bricks=True`` additionally
         builds the 4-channel ``bricks4`` table (32x grid memory) for the
         winner-row-free single-child layout (_coherent_single_lookup);
-        upgrades a previously built cache in place."""
+        ``with_tri_bricks=True`` builds the 5x5x5 4-channel ``bricks5``
+        table for the single-child TRILINEAR fast path
+        (_coherent_single_trilinear_lookup).  Upgrades a previously built
+        cache in place."""
         c = getattr(self, "_coherent_cache", None)
-        if c is not None and (not with_grad_bricks or c.bricks4 is not None):
+        if (c is not None and (not with_grad_bricks or c.bricks4 is not None)
+                and (not with_tri_bricks or c.bricks5 is not None)):
             return c
-        return self._build_coherent_tables(with_grad_bricks=with_grad_bricks)
+        return self._build_coherent_tables(with_grad_bricks=with_grad_bricks,
+                                           with_tri_bricks=with_tri_bricks)
 
-    def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray) -> jnp.ndarray:
-        """Overlapping stride-2 4x4x4 brick rows of a (possibly
+    def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray,
+                      width: int = 4) -> jnp.ndarray:
+        """Overlapping stride-2 ``width^3`` brick rows of a (possibly
         multi-channel) padded volume: ``[npad_x, npad_y, npad_z(, CH)] ->
-        [NB, 64(*CH)]`` rows, cell-major (channel-minor)."""
+        [NB, width^3(*CH)]`` rows, cell-major (channel-minor)."""
         trailing = vol.shape[3:]
         parts = []
-        for ux in range(4):
-            for uy in range(4):
-                for uz in range(4):
+        for ux in range(width):
+            for uy in range(width):
+                for uz in range(width):
                     parts.append(jax.lax.slice(
                         vol, (ux, uy, uz) + (0,) * len(trailing),
                         (ux + 2 * int(nb[0] - 1) + 1,
                          uy + 2 * int(nb[1] - 1) + 1,
                          uz + 2 * int(nb[2] - 1) + 1) + trailing,
                         (2, 2, 2) + (1,) * len(trailing)))
-        # cell-major rows: [NB, 64 cells (x CH channels)]
+        # cell-major rows: [NB, width^3 cells (x CH channels)]
         return jnp.stack(parts, axis=3).reshape(
-            -1, 64 * int(np.prod(trailing, dtype=np.int64)))
+            -1, width ** 3 * int(np.prod(trailing, dtype=np.int64)))
 
-    def _build_coherent_tables(self, with_grad_bricks: bool = False) \
+    def _build_coherent_tables(self, with_grad_bricks: bool = False,
+                               with_tri_bricks: bool = False) \
             -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
         # 8x brick expansion never crosses the (slow, tunneled) host link.
@@ -1621,8 +1795,10 @@ class CachedSDF(ObjectFrameSDF):
             else:                     # table, add only the 4-channel one
                 vol = self._vg[:, 0].reshape(tuple(int(d) for d in n))
                 bricks = self._brick_expand(jnp.pad(vol, pad_spec), nb)
-            bricks4 = None
-            if with_grad_bricks:
+            bricks4 = prev.bricks4 if prev is not None else None
+            bricks5 = prev.bricks5 if prev is not None else None
+            vol4 = None
+            if with_grad_bricks and bricks4 is None:
                 vol4 = self._vg.reshape(tuple(int(d) for d in n) + (4,))
                 b4 = self._brick_expand(
                     jnp.pad(vol4, pad_spec + [(0, 0)]), nb)
@@ -1632,6 +1808,19 @@ class CachedSDF(ObjectFrameSDF):
                 # relayout + 4-wide lane waste; see _coherent_single_lookup)
                 bricks4 = jnp.swapaxes(
                     b4.reshape(-1, 64, 4), 1, 2).reshape(-1, 256)
+            if with_tri_bricks and bricks5 is None:
+                # 5x5x5 windows need one more padded cell (anchor 2*(nb-1)
+                # + extent 5) than the 4x4x4 expansion's npad
+                pad5 = [(0, int(npad[d] + 1 - n[d])) for d in range(3)]
+                if vol4 is None:
+                    vol4 = self._vg.reshape(tuple(int(d) for d in n) + (4,))
+                b5 = self._brick_expand(
+                    jnp.pad(vol4, pad5 + [(0, 0)]), nb, width=5)
+                # channel-major with each 125-cell channel padded to 128
+                # lanes: [v x128 | gx x128 | gy x128 | gz x128]
+                b5 = jnp.swapaxes(b5.reshape(-1, 125, 4), 1, 2)
+                bricks5 = jnp.pad(b5, ((0, 0), (0, 0), (0, 3))).reshape(
+                    -1, 512)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
@@ -1642,7 +1831,7 @@ class CachedSDF(ObjectFrameSDF):
                 vg=vg, bricks=bricks,
                 bstrides=jnp.asarray(bstrides, dtype=jnp.int32),
                 bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32),
-                bricks4=bricks4)
+                bricks4=bricks4, bricks5=bricks5)
         return self._coherent_cache
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):

@@ -472,6 +472,109 @@ def test_single_child_grad_bricks(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_single_trilinear_coherent(tmp_path):
+    """Single TRILINEAR cached child: query_coherent routes through the
+    5x5x5 brick fast path (_coherent_single_trilinear_lookup) and matches
+    the generic trilinear path exactly — smooth values AND interpolated
+    gradients, in/out of bounds, under a rotated transform — with
+    gradients flowing through the straight-through custom VJP."""
+    from pytorch_volumetric_tpu import transforms as tfm
+    from pytorch_volumetric_tpu.sdf import coherent_fast_tables
+
+    sphere = pv.SphereSDF(0.3)
+    cached = pv.CachedSDF("sph_t", 0.05, np.array([[-0.5, 0.5]] * 3), sphere,
+                          interpolation="trilinear",
+                          cache_path=str(tmp_path / "c.npz"))
+    R = np.asarray(tfm.euler_angles_to_matrix(
+        jnp.asarray([0.3, -0.5, 0.9]), "XYZ"))
+    mats = np.stack([np.asarray(tfm.make_tf(pos=[0.15, -0.05, 0.1], rot=R)),
+                     np.asarray(tfm.make_tf(pos=[-0.2, 0.1, 0.0], rot=R.T))])
+    comp = pv.ComposedSDF([cached], pv.Transform3d(matrix=jnp.asarray(mats)))
+
+    ft = coherent_fast_tables(comp.sdfs)
+    assert len(ft) == 1 and ft[0].bricks5 is not None
+    assert ft[0].bricks5.shape == (ft[0].bricks.shape[0], 512)
+
+    # covers in-bounds, out-of-bounds, and straddling points; both the
+    # 4-point line layout and the larger tile layout
+    qr = np.array([[-0.8, 0.8], [0.0, 0.0], [-0.8, 0.8]])
+    pts_c, take = pv.get_coherent_grid_points(0.02, qr)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, qr)
+    assert comp.check_coherent_contract(pts_c)
+    v_gen, g_gen = comp(pts_g)
+    v_coh, g_coh = comp.query_coherent(pts_c)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v_coh)[:, take],
+                                      np.asarray(v_gen))
+        np.testing.assert_array_equal(np.asarray(g_coh)[:, take],
+                                      np.asarray(g_gen))
+    else:
+        np.testing.assert_allclose(np.asarray(v_coh)[:, take],
+                                   np.asarray(v_gen), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_coh)[:, take],
+                                   np.asarray(g_gen), atol=1e-5)
+    # values_only returns the identical values
+    v_o = comp.query_coherent(pts_c, values_only=True)
+    np.testing.assert_array_equal(np.asarray(v_o), np.asarray(v_coh))
+
+    # tile layout (seg > 4) through the same branch
+    pts_t, take_t, seg_t = pv.get_coherent_tile_points(
+        0.02, qr, cache_resolution=0.05)
+    assert seg_t > 4
+    assert comp.check_coherent_contract(pts_t, seg=seg_t)
+    v_t, g_t = comp.query_coherent(pts_t, seg=seg_t)
+    np.testing.assert_allclose(np.asarray(v_t)[:, take_t],
+                               np.asarray(v_gen), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t)[:, take_t],
+                               np.asarray(g_gen), atol=1e-6)
+
+    # transform gradients through the straight-through VJP match generic
+    def loss_coh(m):
+        c2 = pv.ComposedSDF([cached], pv.Transform3d(matrix=m))
+        v, g = c2.query_coherent(pts_c)
+        return v.sum() + g.sum()
+
+    def loss_gen(m):
+        c2 = pv.ComposedSDF([cached], pv.Transform3d(matrix=m))
+        v, g = c2(pts_c)
+        return v.sum() + g.sum()
+
+    m0 = jnp.asarray(mats)
+    g1 = jax.grad(loss_gen)(m0)
+    g2 = jax.grad(loss_coh)(m0)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multi_child_trilinear_stays_generic(tmp_path):
+    """A trilinear child inside a MULTI-child union keeps the generic
+    per-point sub-path (no bricks5 build) and the union still matches the
+    generic composition exactly."""
+    from pytorch_volumetric_tpu.sdf import coherent_fast_tables
+
+    sphere = pv.SphereSDF(0.3)
+    tri = pv.CachedSDF("m_t", 0.05, np.array([[-0.5, 0.5]] * 3), sphere,
+                       interpolation="trilinear",
+                       cache_path=str(tmp_path / "c.npz"))
+    near = pv.CachedSDF("m_n", 0.05, np.array([[-0.45, 0.45]] * 3), sphere,
+                        cache_path=str(tmp_path / "c.npz"))
+    eye2 = lambda: pv.Transform3d(
+        matrix=jnp.tile(jnp.eye(4)[None], (2, 1, 1)))
+    comp = pv.ComposedSDF([tri, near], eye2())
+    ft = coherent_fast_tables(comp.sdfs)
+    assert len(ft) == 1  # only the nearest child takes the fast path
+    assert ft[0].bricks5 is None
+    pts_c, _ = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.6, 0.6], [0.0, 0.0], [-0.6, 0.6]]))
+    v_c, g_c = comp.query_coherent(pts_c)
+    v_g, g_g = pv.ComposedSDF([tri, near], eye2())(pts_c)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_g))
+    else:
+        np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_g),
+                                   atol=1e-6)
+
+
 def test_multi_child_tables_skip_grad_bricks(robot):
     """Multi-child unions must NOT pay the 32x-memory bricks4 build (the
     4-channel layout measured 26% slower there — value bricks + winner rows
