@@ -47,6 +47,12 @@ def main():
                          "'mesh_arm': 8-link serial arm whose links are the "
                          "reference's probe/wrench meshes (bench.py's "
                          "mesh-real multi-link row at north-star scale)")
+    ap.add_argument("--interp", choices=["nearest", "trilinear"],
+                    default="nearest",
+                    help="link-cache interpolation; 'trilinear' exercises "
+                         "the single-child 5x5x5-brick smooth-field path "
+                         "(drill robot only — multi-child trilinear takes "
+                         "the generic sub-path)")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +95,8 @@ def main():
     robot = pv.RobotSDF(
         chain, path_prefix=d,
         link_sdf_cls=pv.cache_link_sdf_factory(
-            resolution=0.02, padding=1.0, cache_path=cache))
+            resolution=0.02, padding=1.0, cache_path=cache,
+            interpolation=args.interp))
     log("robot + link caches ready")
 
     side = args.points_side
@@ -183,9 +190,11 @@ def main():
             log(f"chunk={C} OOMed ({str(e)[:160]}); halving")
 
     # keep the historical bare key for the default arm workload; only the
-    # new mesh-real mode gets a suffix
+    # new mesh-real/trilinear modes get suffixes
     metric = ("northstar_200x1e6" if args.robot == "arm"
               else f"northstar_200x1e6_{args.robot}")
+    if args.interp != "nearest":
+        metric += f"_{args.interp}"
     print(json.dumps({
         "metric": metric,
         "value": round(N * M / results["forward"], 1),
