@@ -546,6 +546,42 @@ def test_single_trilinear_coherent(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_query_grid_single_trilinear_link(tmp_path):
+    """RobotSDF.query_grid on a free object with a TRILINEAR link cache
+    routes through the coherent trilinear brick path
+    (coherent_min_cache_resolution counts the single trilinear child) and
+    matches the generic per-point query exactly."""
+    from pytorch_volumetric_tpu import mesh as m
+    from pytorch_volumetric_tpu.utils.robots import make_free_object_urdf
+
+    d = str(tmp_path)
+    m.save_obj(m.icosphere_mesh(0.12, 1), f"{d}/ball.obj")
+    urdf, name = make_free_object_urdf(d, f"{d}/ball.obj",
+                                       object_name="ball")
+    chain = pv.build_serial_chain_from_urdf(open(urdf).read(), name)
+    robot = pv.RobotSDF(chain, path_prefix=d,
+                        link_sdf_cls=pv.cache_link_sdf_factory(
+                            resolution=0.04, padding=0.2,
+                            cache_path=f"{d}/c.npz",
+                            interpolation="trilinear"))
+    from pytorch_volumetric_tpu.sdf import coherent_min_cache_resolution
+    assert coherent_min_cache_resolution(robot.sdf.sdfs) == 0.04
+    q = jnp.asarray(np.random.default_rng(0).uniform(-0.15, 0.15, (3, 6)),
+                    dtype=jnp.float32)
+    qr = np.array([[-0.25, 0.25], [-0.2, 0.2], [-0.2, 0.2]])
+    v, g = robot.query_grid(q, qr, 0.02)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, qr)
+    v_ref, g_ref = robot.query(q, pts_g)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(
+            np.asarray(v).reshape(3, -1), np.asarray(v_ref))
+        np.testing.assert_array_equal(
+            np.asarray(g).reshape(3, -1, 3), np.asarray(g_ref))
+    else:
+        np.testing.assert_allclose(np.asarray(v).reshape(3, -1),
+                                   np.asarray(v_ref), atol=1e-6)
+
+
 def test_multi_child_trilinear_stays_generic(tmp_path):
     """A trilinear child inside a MULTI-child union keeps the generic
     per-point sub-path (no bricks5 build) and the union still matches the
