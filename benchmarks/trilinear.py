@@ -98,11 +98,13 @@ def main():
         m = comp.obj_frame_to_link_frame.get_matrix()
         m_inv = comp.link_frame_to_obj_frame
         ch = tuple(comp.sdfs)
+        # divide by the REAL grid point count M, not the tile-padded count,
+        # matching bench.py/northstar.py's throughput convention
         row(label,
             lambda p, f, ch=ch, m=m, m_inv=m_inv: sum(
                 x.sum() for x in compose_query_coherent(
                     ch, m, m_inv, 1, p, fast_tables=f, seg=seg)),
-            pts_c, ft, n=pts_c.shape[0])
+            pts_c, ft, n=M)
 
     print(json.dumps({
         "metric": "trilinear_vs_nearest",

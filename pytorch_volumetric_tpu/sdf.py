@@ -666,7 +666,8 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     (:func:`_coherent_single_trilinear_lookup`)."""
     tri = _coherent_single_trilinear_child(children)
     if tri is not None:
-        return (tri._coherent_tables(with_tri_bricks=True),)
+        return (tri._coherent_tables(with_tri_bricks=True,
+                                     with_value_bricks=False),)
     fast = [s for s in children if _is_coherent_fast_child(s)]
     single = len(fast) == 1
     tables = tuple(s._coherent_tables(with_grad_bricks=single) for s in fast)
@@ -736,7 +737,7 @@ class _CoherentTables(NamedTuple):
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
                            seg: int = COHERENT_SEG):
     """Value-only variant of :func:`_coherent_union_lookup`:
-    ``values(pts_c [C, B, FS, seg, 3], bricks_list) -> val [B, FS, seg]``.
+    ``values(pts_c [C, B, seg, FS, 3], bricks_list) -> val [B, seg, FS]``.
     Skips the winner-row gradient gather and every gradient-side carry
     (~10% of the value+gradient cost under the value-brick layout) for
     inference-only sweeps (collision checks, occupancy rasters).  Not
@@ -1045,7 +1046,12 @@ def _coherent_single_trilinear_lookup(t: _CoherentTables, b5_sd: tuple,
         seg_valid = jnp.any(valid, axis=1)
         bflat = jnp.where(seg_valid, bflat, 0)
         rows = bricks5[bflat]                           # [B, FS, 512]
-        off = i0 - (corner2 * 2)[:, None, :, :]         # in [0, 4] per dim
+        # off in [0, 3] per dim under the tile contract (clipped floor-key
+        # span <= 2 plus anchor parity; the +1 corner extent brings the max
+        # read to off+1 <= 4, the 5-window edge) — the roll-based lane
+        # extraction below relies on base+delta <= 124 < 125, which a
+        # per-dim off of 4 would break (base 124 + delta 31 wraps)
+        off = i0 - (corner2 * 2)[:, None, :, :]
         off5 = off[..., 0] * 25 + off[..., 1] * 5 + off[..., 2]
         oh = (off5[..., None] == iota128).astype(p.dtype)
         accs = [jnp.zeros(p.shape[:-1], p.dtype) for _ in range(nchan)]
@@ -1133,7 +1139,15 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
 
     Children that are not nearest-neighbor BOUNDING_BOX ``CachedSDF``\\ s
     (analytic primitives, ``MeshSDF``, trilinear/GT-fallback caches) are
-    evaluated on the generic per-point path and min-combined afterwards.
+    evaluated on the generic per-point path and min-combined afterwards —
+    EXCEPT a composition whose only child is a trilinear BOUNDING_BOX
+    cache, which takes the 5x5x5-brick trilinear fast path
+    (:func:`_coherent_single_trilinear_lookup`; new in r4).  That path,
+    like every fast path here, REQUIRES the coherence contract above —
+    callers that previously fed non-conforming points to a
+    single-trilinear composition were already violating this function's
+    contract (it merely happened to still be exact); they must use the
+    generic ``__call__``/``compose_query`` path or conforming layouts.
 
     ``fast_tables``: optional ``_CoherentTables`` tuple for the
     coherent-fast children in child order, as built by
@@ -1195,9 +1209,10 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                 and fast_tables[0].bricks5 is not None):
             b5 = fast_tables[0].bricks5
         else:
-            b5 = tri_child._coherent_tables(with_tri_bricks=True).bricks5
+            b5 = tri_child._coherent_tables(
+                with_tri_bricks=True, with_value_bricks=False).bricks5
         with jax.ensure_compile_time_eval():
-            small = tri_child._coherent_tables()
+            small = tri_child._coherent_tables(with_value_bricks=False)
         if values_only:
             values = _coherent_single_trilinear_lookup(
                 small, (b5.shape, b5.dtype), seg=seg, values_only=True)
@@ -1737,7 +1752,8 @@ class CachedSDF(ObjectFrameSDF):
         return self._raw_aux(aux, points)
 
     def _coherent_tables(self, with_grad_bricks: bool = False,
-                         with_tri_bricks: bool = False) -> _CoherentTables:
+                         with_tri_bricks: bool = False,
+                         with_value_bricks: bool = True) -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
         of VALUE cells at stride 2 per dimension (gradients come from a
@@ -1747,14 +1763,22 @@ class CachedSDF(ObjectFrameSDF):
         winner-row-free single-child layout (_coherent_single_lookup);
         ``with_tri_bricks=True`` builds the 5x5x5 4-channel ``bricks5``
         table for the single-child TRILINEAR fast path
-        (_coherent_single_trilinear_lookup).  Upgrades a previously built
-        cache in place."""
+        (_coherent_single_trilinear_lookup).  ``with_value_bricks=False``
+        skips the 4x4x4 value-brick build for callers that only need the
+        tiny fields or the trilinear table (a trilinear-only child never
+        reads ``bricks`` — building it would waste 8x grid memory AND
+        thread a dead jit argument, the same waste class bricks4-stripping
+        avoids for multi-child unions).  Upgrades a previously built cache
+        in place."""
         c = getattr(self, "_coherent_cache", None)
         if (c is not None and (not with_grad_bricks or c.bricks4 is not None)
-                and (not with_tri_bricks or c.bricks5 is not None)):
+                and (not with_tri_bricks or c.bricks5 is not None)
+                and (not with_value_bricks or c.bricks is not None)):
             return c
-        return self._build_coherent_tables(with_grad_bricks=with_grad_bricks,
-                                           with_tri_bricks=with_tri_bricks)
+        return self._build_coherent_tables(
+            with_grad_bricks=with_grad_bricks,
+            with_tri_bricks=with_tri_bricks,
+            with_value_bricks=with_value_bricks)
 
     def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray,
                       width: int = 4) -> jnp.ndarray:
@@ -1777,7 +1801,8 @@ class CachedSDF(ObjectFrameSDF):
             -1, width ** 3 * int(np.prod(trailing, dtype=np.int64)))
 
     def _build_coherent_tables(self, with_grad_bricks: bool = False,
-                               with_tri_bricks: bool = False) \
+                               with_tri_bricks: bool = False,
+                               with_value_bricks: bool = True) \
             -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
         # 8x brick expansion never crosses the (slow, tunneled) host link.
@@ -1790,9 +1815,10 @@ class CachedSDF(ObjectFrameSDF):
         pad_spec = [(0, int(npad[d] - n[d])) for d in range(3)]
         with jax.ensure_compile_time_eval():
             prev = getattr(self, "_coherent_cache", None)
-            if prev is not None:
-                bricks = prev.bricks  # upgrade in place: reuse the 1-channel
-            else:                     # table, add only the 4-channel one
+            # upgrade in place: reuse already-built tables, add only the
+            # newly requested ones
+            bricks = prev.bricks if prev is not None else None
+            if with_value_bricks and bricks is None:
                 vol = self._vg[:, 0].reshape(tuple(int(d) for d in n))
                 bricks = self._brick_expand(jnp.pad(vol, pad_spec), nb)
             bricks4 = prev.bricks4 if prev is not None else None

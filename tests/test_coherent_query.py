@@ -493,7 +493,10 @@ def test_single_trilinear_coherent(tmp_path):
 
     ft = coherent_fast_tables(comp.sdfs)
     assert len(ft) == 1 and ft[0].bricks5 is not None
-    assert ft[0].bricks5.shape == (ft[0].bricks.shape[0], 512)
+    assert ft[0].bricks5.shape[1] == 512
+    # a trilinear-only child never reads the 4x4x4 value bricks; building
+    # them would waste 8x grid memory and a dead jit argument
+    assert ft[0].bricks is None
 
     # covers in-bounds, out-of-bounds, and straddling points; both the
     # 4-point line layout and the larger tile layout
