@@ -61,6 +61,33 @@ def probe_backend(budget_s=900):
         time.sleep(60)
 
 
+def time_median(fn, *args, reps=10, samples=3):
+    """Median-of-``samples`` per-rep seconds for one chained-scan call.
+
+    Each sample is one timed dispatch of a ``reps``-iteration on-device scan
+    (see the methodology note in :func:`main`).  A single sample is NOT
+    robust on the tunneled TPU: one host/tunnel hiccup poisons the round's
+    official record (BENCH_r04 shipped a 100x outlier on the drill
+    fwd+bwd row — 3.1M q/s vs the same-day re-run's 402M).  Returns
+    ``(median_s, min_s, max_s)``; callers flag rows whose max/min spread
+    exceeds 2x."""
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append((time.perf_counter() - t0) / reps)
+    ts.sort()
+    return ts[len(ts) // 2], ts[0], ts[-1]
+
+
+def spread_extra(extra, key, med, lo, hi):
+    """Record a row's min/median/max spread; flag >2x outlier spreads."""
+    extra[f"{key}_ms_spread"] = [round(lo * 1e3, 3), round(med * 1e3, 3),
+                                 round(hi * 1e3, 3)]
+    if hi > 2 * lo:
+        extra[f"{key}_spread_outlier"] = True
+
+
 def main():
     # never lose the artifact to an outage: if the backend cannot initialize
     # within the probe budget, emit an explicit machine-readable JSON line
@@ -176,20 +203,16 @@ def main():
     chained.reps = reps  # single source of truth for helpers (bench_real_mesh)
     fwd = chained(query_sum)
     float(fwd(th, pts, ft))  # compile
-    t0 = time.perf_counter()
-    acc = float(fwd(th, pts, ft))
-    fwd_s = (time.perf_counter() - t0) / reps
+    fwd_s, fwd_lo, fwd_hi = time_median(fwd, th, pts, ft, reps=reps)
     qps = N * M / fwd_s
-    log(f"forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> {qps / 1e6:.1f}M queries/s "
-        f"(acc={acc:.3e})")
+    log(f"forward: {fwd_s * 1e3:.2f} ms (min {fwd_lo * 1e3:.2f} / max "
+        f"{fwd_hi * 1e3:.2f}) for {N}x{M} -> {qps / 1e6:.1f}M queries/s")
 
     # forward + backward w.r.t. joint configuration
     bwd = chained(lambda q, p, f: jax.grad(
         lambda qq: query_sum(qq, p, f))(q).sum())
     float(bwd(th, pts, ft))
-    t0 = time.perf_counter()
-    acc = float(bwd(th, pts, ft))
-    bwd_s = (time.perf_counter() - t0) / reps
+    bwd_s, bwd_lo, bwd_hi = time_median(bwd, th, pts, ft, reps=reps)
     log(f"forward+backward: {bwd_s * 1e3:.2f} ms -> {N * M / bwd_s / 1e6:.1f}M queries/s")
 
     # the reference's other headline row: N=20 configs (README.md:195-200,
@@ -197,9 +220,8 @@ def main():
     if N >= 20:
         th20 = th[:20]
         float(fwd(th20, pts, ft))
-        t0 = time.perf_counter()
-        float(fwd(th20, pts, ft))
-        fwd20_s = (time.perf_counter() - t0) / reps
+        fwd20_s, fwd20_lo, fwd20_hi = time_median(fwd, th20, pts, ft,
+                                                  reps=reps)
         log(f"forward N=20: {fwd20_s * 1e3:.2f} ms "
             f"(reference 37.69 ms) -> {20 * M / fwd20_s / 1e6:.1f}M queries/s")
     else:  # PVT_BENCH_N dry runs below 20 configs skip the N=20 row
@@ -217,10 +239,14 @@ def main():
             "n_configs": N,
         },
     }
+    spread_extra(headline["extra"], "forward", fwd_s, fwd_lo, fwd_hi)
+    spread_extra(headline["extra"], "forward_backward", bwd_s, bwd_lo, bwd_hi)
     if N >= 20:  # NaN is not valid JSON; omit the row on tiny dry runs
         headline["extra"]["forward_ms_20_configs"] = round(fwd20_s * 1e3, 3)
         headline["extra"]["vs_baseline_20_configs"] = round(0.03769 / fwd20_s,
                                                             3)
+        spread_extra(headline["extra"], "forward_20_configs",
+                     fwd20_s, fwd20_lo, fwd20_hi)
     # print the headline the moment it exists: if the process is killed
     # anywhere in the optional mesh-real section below, the artifact is
     # already on stdout.  A second, superset JSON line follows on success
@@ -295,28 +321,28 @@ def bench_real_mesh(jax, jnp, pv, chained, N, log):
     reps = chained.reps  # the scan count baked into chained's closure
     fwd = chained(query_sum)
     float(fwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(fwd(th, pts, ft))
-    fwd_s = (time.perf_counter() - t0) / reps
+    fwd_s, fwd_lo, fwd_hi = time_median(fwd, th, pts, ft, reps=reps)
     log(f"drill forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> "
         f"{N * M / fwd_s / 1e6:.1f}M queries/s")
 
     bwd = chained(lambda q, p, f: jax.grad(
         lambda qq: query_sum(qq, p, f))(q).sum())
     float(bwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(bwd(th, pts, ft))
-    bwd_s = (time.perf_counter() - t0) / reps
+    bwd_s, bwd_lo, bwd_hi = time_median(bwd, th, pts, ft, reps=reps)
     log(f"drill forward+backward: {bwd_s * 1e3:.2f} ms -> "
         f"{N * M / bwd_s / 1e6:.1f}M queries/s")
     extra["drill_robot_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
     extra["drill_robot_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
+    spread_extra(extra, "drill_forward", fwd_s, fwd_lo, fwd_hi)
+    spread_extra(extra, "drill_forward_backward", bwd_s, bwd_lo, bwd_hi)
 
     # (b) exact MeshSDF sweep over the raw 15,728-face mesh (Pallas on TPU)
     mesh_sdf = pv.MeshSDF(pv.MeshObjectFactory(drill_obj))
     P = 131072
     qpts = jnp.asarray(rng.uniform(-0.2, 0.2, (P, 3)).astype(np.float32))
-    dt = device_time(lambda p: mesh_sdf.raw_query(p)[0], qpts, reps=3)
+    dts = sorted(device_time(lambda p: mesh_sdf.raw_query(p)[0], qpts, reps=3)
+                 for _ in range(3))
+    dt = dts[1]  # median of 3 device-timed samples (see time_median)
     nf = mesh_sdf.obj_factory._mesh.faces.shape[0]
     log(f"exact MeshSDF ({nf} faces, backend={jax.default_backend()}): "
         f"{dt * 1e3:.2f} ms for {P} pts -> {P / dt / 1e6:.2f}M q/s, "
@@ -383,22 +409,20 @@ def bench_mesh_arm(jax, jnp, pv, chained, N, log):
     extra = {}
     fwd = chained(query_sum)
     float(fwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(fwd(th, pts, ft))
-    fwd_s = (time.perf_counter() - t0) / reps
+    fwd_s, fwd_lo, fwd_hi = time_median(fwd, th, pts, ft, reps=reps)
     log(f"mesh arm forward: {fwd_s * 1e3:.2f} ms for {N}x{M} -> "
         f"{N * M / fwd_s / 1e6:.1f}M queries/s")
 
     bwd = chained(lambda q, p, f: jax.grad(
         lambda qq: query_sum(qq, p, f))(q).sum())
     float(bwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(bwd(th, pts, ft))
-    bwd_s = (time.perf_counter() - t0) / reps
+    bwd_s, bwd_lo, bwd_hi = time_median(bwd, th, pts, ft, reps=reps)
     log(f"mesh arm forward+backward: {bwd_s * 1e3:.2f} ms -> "
         f"{N * M / bwd_s / 1e6:.1f}M queries/s")
     extra["mesh_arm_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
     extra["mesh_arm_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
+    spread_extra(extra, "mesh_arm_forward", fwd_s, fwd_lo, fwd_hi)
+    spread_extra(extra, "mesh_arm_forward_backward", bwd_s, bwd_lo, bwd_hi)
     return extra
 
 
@@ -454,18 +478,16 @@ def bench_tight(jax, jnp, pv, chained, N, log):
     bwd = chained(lambda q, p, f: jax.grad(
         lambda qq: query_sum(qq, p, f))(q).sum())
     float(fwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(fwd(th, pts, ft))
-    fwd_s = (time.perf_counter() - t0) / reps
+    fwd_s, fwd_lo, fwd_hi = time_median(fwd, th, pts, ft, reps=reps)
     float(bwd(th, pts, ft))
-    t0 = time.perf_counter()
-    float(bwd(th, pts, ft))
-    bwd_s = (time.perf_counter() - t0) / reps
+    bwd_s, bwd_lo, bwd_hi = time_median(bwd, th, pts, ft, reps=reps)
     log(f"tight-cache dense: fwd {fwd_s * 1e3:.2f} ms "
         f"({N * M / fwd_s / 1e6:.1f}M q/s), fwd+bwd {bwd_s * 1e3:.2f} ms "
         f"({N * M / bwd_s / 1e6:.1f}M q/s)")
     extra["tight_dense_forward_qps_M"] = round(N * M / fwd_s / 1e6, 1)
     extra["tight_dense_forward_backward_qps_M"] = round(N * M / bwd_s / 1e6, 1)
+    spread_extra(extra, "tight_dense_forward", fwd_s, fwd_lo, fwd_hi)
+    spread_extra(extra, "tight_dense_forward_backward", bwd_s, bwd_lo, bwd_hi)
     return extra
 
 

@@ -87,11 +87,23 @@ def main():
                           "efficiency_vs_linear": round(eff, 3)}), flush=True)
     if len(results) > 1:
         n_max = max(results)
-        print(json.dumps({
+        summary = {
             "metric": "scaling_efficiency",
             "value": round(results[n_max] / (results[1] * n_max), 3),
             "unit": f"fraction of linear at {n_max} devices",
-        }), flush=True)
+        }
+        if jax.default_backend() == "cpu":
+            # the virtual mesh's "devices" time-share ONE CPU's cores, so
+            # wall-clock cannot improve with device count: this harness run
+            # validates CORRECTNESS under sharding only.  The scaling
+            # property itself is proven statically by the compiled-HLO
+            # collective audit (zero cross-device collectives in the
+            # forward — scripts/hlo_audit.py, tests/test_parallel.py).
+            summary["note"] = (
+                "virtual CPU mesh shares one CPU's cores: efficiency here "
+                "is meaningless; see hlo_collective_audit for the scaling "
+                "evidence")
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,17 @@ def pallas_closest_query_soa(pts_soa: jnp.ndarray, tri_soa: jnp.ndarray,
     n_pt = Pp // point_tile
     n_tt = Fp // tri_tile
 
+    # under shard_map with check_vma, pallas_call out_shapes must declare how
+    # outputs vary over mesh axes: the sweep is elementwise over points x
+    # reduced over triangles, so outputs vary over the union of both inputs'
+    # axes (same rule as the XLA sweep's carry in ops.point_triangle)
+    vma_kw = {}
+    if hasattr(jax, "typeof"):
+        vma = tuple(set(jax.typeof(pts_soa).vma)
+                    | set(jax.typeof(tri_soa).vma))
+        if vma:
+            vma_kw = {"vma": frozenset(vma)}
+
     grid = (n_pt, n_tt)
     kernel = pl.pallas_call(
         _sweep_kernel,
@@ -222,10 +233,10 @@ def pallas_closest_query_soa(pts_soa: jnp.ndarray, tri_soa: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, Pp), jnp.float32),
-            jax.ShapeDtypeStruct((3, Pp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Pp), jnp.int32),
-            jax.ShapeDtypeStruct((1, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Pp), jnp.float32, **vma_kw),
+            jax.ShapeDtypeStruct((3, Pp), jnp.float32, **vma_kw),
+            jax.ShapeDtypeStruct((1, Pp), jnp.int32, **vma_kw),
+            jax.ShapeDtypeStruct((1, Pp), jnp.float32, **vma_kw),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),

@@ -4,3 +4,7 @@ from pytorch_volumetric_tpu.parallel.sharding import (
     sharded_neural_robot_query, make_collision_step,
 )
 from pytorch_volumetric_tpu.parallel.triangle_sharded import TriangleShardedMeshSDF
+from pytorch_volumetric_tpu.parallel.audit import (
+    COLLECTIVE_OPS, count_collectives, optimized_hlo, audit_sharded_callable,
+    assert_collectives,
+)

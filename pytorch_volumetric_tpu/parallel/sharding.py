@@ -121,23 +121,37 @@ def pad_for_mesh(x: jnp.ndarray, mesh: Mesh, axis_name: str, axis: int = 0,
 
 
 def sharded_robot_query(robot_sdf, mesh: Mesh) -> Callable:
-    """Jit the fused FK→transform→SDF→min-union query with configs sharded
-    over ``config`` and points over ``point``; everything else replicated.
+    """The fused FK→transform→SDF→min-union query with configs sharded over
+    ``config`` and points over ``point``; everything else replicated.
+
+    Built with ``shard_map``, NOT bare GSPMD in/out shardings: each device
+    runs the whole local program on its (config block, point block), which
+    makes the forward communication-free BY CONSTRUCTION.  Under GSPMD the
+    per-child ``reshape(batch * F, 3)`` flatten (compose_query) merges the
+    config- and point-sharded axes and the partitioner inserts
+    all-gather/all-to-all resharding around every mesh-link sweep (measured:
+    7 all-to-alls + 4 all-gathers in the 4-link forward — caught by
+    ``parallel.audit``, which now pins zero collectives).
 
     Returns ``fn(q [A, M], pts [P, 3]) -> (val [A, P], grad [A, P, 3])``.
     ``A`` must divide by the config-axis size and ``P`` by the point-axis size
     (pad with :func:`pad_for_mesh` otherwise).
     """
     fn, leaves = robot_sdf.fused_query_fn()
-    jitted = jax.jit(
-        fn,
-        in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
-                      NamedSharding(mesh, P(POINT_AXIS, None)),
-                      *(NamedSharding(mesh, P()) for _ in leaves)),
-        out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
-                       NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
-    )
-    return lambda q, pts: jitted(q, pts, *leaves)
+    jitted = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(CONFIG_AXIS, None), P(POINT_AXIS, None))
+        + tuple(P() for _ in leaves),
+        out_specs=(P(CONFIG_AXIS, POINT_AXIS),
+                   P(CONFIG_AXIS, POINT_AXIS, None))))
+
+    def run(q, pts):
+        return jitted(q, pts, *leaves)
+
+    # expose the jit object + bound table arguments for AOT lowering
+    # (parallel.audit counts cross-device collectives in the optimized HLO)
+    run.jitted, run.extra_args = jitted, tuple(leaves)
+    return run
 
 
 def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
@@ -164,16 +178,16 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
                                       values_only=values_only,
                                       generic_aux=generic_aux, seg=seg)
 
-    val_sh = NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS))
-    jitted = jax.jit(
-        fn,
-        in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
-                      NamedSharding(mesh, P(POINT_AXIS, None)),
-                      NamedSharding(mesh, P()),   # tables replicated
-                      NamedSharding(mesh, P())),
-        out_shardings=val_sh if values_only else
-        (val_sh, NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
-    )
+    # shard_map (not bare GSPMD): zero-collective forward by construction —
+    # see sharded_robot_query's docstring
+    val_spec = P(CONFIG_AXIS, POINT_AXIS)
+    jitted = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(CONFIG_AXIS, None), P(POINT_AXIS, None),
+                  P(),   # tables replicated
+                  P()),
+        out_specs=val_spec if values_only else
+        (val_spec, P(CONFIG_AXIS, POINT_AXIS, None))))
     ft = coherent_fast_tables(children)
     ga = coherent_generic_aux(children)
     n_pt = mesh.shape[POINT_AXIS]
@@ -192,6 +206,7 @@ def sharded_robot_query_coherent(robot_sdf, mesh: Mesh,
                 f"POINT_AXIS, segment={seg}) to a multiple of {seg * n_pt}")
         return jitted(q, pts, ft, ga)
 
+    run.jitted, run.extra_args = jitted, (ft, ga)  # for parallel.audit
     return run
 
 
@@ -200,14 +215,31 @@ def sharded_neural_robot_query(model, mesh: Mesh) -> Callable:
     (``models.ConfigSpaceNeuralSDF``) like :func:`sharded_robot_query`:
     configs over ``config``, points over ``point``, weights replicated.
     The forward is pure MXU matmuls, so scaling is embarrassingly parallel;
-    returns ``fn(q [A, M], pts [P, 3]) -> (val [A, P], grad [A, P, 3])``."""
-    return jax.jit(
-        model.query,
-        in_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, None)),
-                      NamedSharding(mesh, P(POINT_AXIS, None))),
-        out_shardings=(NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS)),
-                       NamedSharding(mesh, P(CONFIG_AXIS, POINT_AXIS, None))),
-    )
+    returns ``fn(q [A, M], pts [P, 3]) -> (val [A, P], grad [A, P, 3])``.
+    shard_map (not bare GSPMD): zero-collective forward by construction —
+    see sharded_robot_query's docstring."""
+    def body(q, pts):
+        # the model's spatial gradient is an in-body jax.vjp w.r.t. pts; pts
+        # arrives config-UNVARIED (replicated over that mesh axis), so the
+        # vjp transpose would insert a psum over `config` — summing the
+        # gradients of DIFFERENT configurations across devices.  Promoting
+        # pts to config-varying first makes each device's copy independent
+        # (values unchanged; measured: without this, sharded gradients were
+        # the cross-device config-sum, 100% mismatched).
+        pts = jax.lax.pvary(pts, (CONFIG_AXIS,))
+        return model.query(q, pts)
+
+    jitted = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(CONFIG_AXIS, None), P(POINT_AXIS, None)),
+        out_specs=(P(CONFIG_AXIS, POINT_AXIS),
+                   P(CONFIG_AXIS, POINT_AXIS, None))))
+
+    def run(q, pts):
+        return jitted(q, pts)
+
+    run.jitted, run.extra_args = jitted, ()  # for parallel.audit
+    return run
 
 
 def sharded_sdf_query(sdf, mesh: Mesh) -> Callable:
@@ -217,23 +249,38 @@ def sharded_sdf_query(sdf, mesh: Mesh) -> Callable:
     (capturing them would bake multi-hundred-MB constants into the program;
     see CLAUDE.md)."""
     aux = sdf.raw_query_aux()
-    spec = P((CONFIG_AXIS, POINT_AXIS))
-    pts_sh = NamedSharding(mesh, P((CONFIG_AXIS, POINT_AXIS), None))
-    out_sh = (NamedSharding(mesh, spec), pts_sh)
+    # shard_map (not bare GSPMD), so per-point chunking (lax.map in the
+    # triangle sweep) happens on each device's LOCAL block: zero-collective
+    # forward by construction — see sharded_robot_query's docstring
+    val_spec = P((CONFIG_AXIS, POINT_AXIS))
+    pts_spec = P((CONFIG_AXIS, POINT_AXIS), None)
+    out_specs = (val_spec, pts_spec)
     if aux is None:
-        return jax.jit(lambda pts: sdf.raw_query(pts),
-                       in_shardings=pts_sh, out_shardings=out_sh)
+        jitted = jax.jit(jax.shard_map(
+            lambda pts: sdf.raw_query(pts), mesh=mesh,
+            in_specs=(pts_spec,), out_specs=out_specs))
+
+        def run(pts):
+            return jitted(pts)
+
+        run.jitted, run.extra_args = jitted, ()
+        return run
     leaves, treedef = jax.tree_util.tree_flatten(aux)
 
     def fn(pts, *aux_leaves):
         return sdf.raw_query_with(
             jax.tree_util.tree_unflatten(treedef, aux_leaves), pts)
 
-    jitted = jax.jit(
-        fn,
-        in_shardings=(pts_sh, *(NamedSharding(mesh, P()) for _ in leaves)),
-        out_shardings=out_sh)
-    return lambda pts: jitted(pts, *leaves)
+    jitted = jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(pts_spec, *(P() for _ in leaves)),
+        out_specs=out_specs))
+
+    def run(pts):
+        return jitted(pts, *leaves)
+
+    run.jitted, run.extra_args = jitted, tuple(leaves)  # for parallel.audit
+    return run
 
 
 def make_collision_step(robot_sdf, optimizer, margin: float = 0.1,
@@ -252,9 +299,21 @@ def make_collision_step(robot_sdf, optimizer, margin: float = 0.1,
     Returns ``step(q [A, M], opt_state, pts [P, 3]) -> (q', opt_state', loss)``.
     """
     query_fn, leaves = robot_sdf.fused_query_fn()
+    if mesh is not None:
+        # shard_map'd forward (zero collectives — sharded_robot_query's
+        # docstring); the loss mean OUTSIDE the shard_map and the transpose
+        # of the config-sharded/point-replicated q block give the backward
+        # its all-reduce set (exactly the psums parallel.audit expects)
+        sharded_query = jax.shard_map(
+            query_fn, mesh=mesh,
+            in_specs=(P(CONFIG_AXIS, None), P(POINT_AXIS, None))
+            + tuple(P() for _ in leaves),
+            out_specs=(P(CONFIG_AXIS, POINT_AXIS),
+                       P(CONFIG_AXIS, POINT_AXIS, None)))
 
     def loss_fn(q, pts, aux):
-        val, _ = query_fn(q, pts, *aux)
+        fn = query_fn if mesh is None else sharded_query
+        val, _ = fn(q, pts, *aux)
         return jnp.mean(jax.nn.relu(margin - val) ** 2)
 
     def step(q, opt_state, pts, aux):
@@ -265,11 +324,43 @@ def make_collision_step(robot_sdf, optimizer, margin: float = 0.1,
 
     if mesh is None:
         jitted = jax.jit(step)
-        return lambda q, s, pts: jitted(q, s, pts, leaves)
-    q_sh = NamedSharding(mesh, P(CONFIG_AXIS, None))
-    pts_sh = NamedSharding(mesh, P(POINT_AXIS, None))
-    repl = NamedSharding(mesh, P())
-    jitted = jax.jit(step,
-                     in_shardings=(q_sh, repl, pts_sh, repl),
-                     out_shardings=(q_sh, repl, repl))
-    return lambda q, s, pts: jitted(q, s, pts, leaves)
+    else:
+        # q-shaped optimizer-state leaves (adam moments) shard WITH q: a
+        # replicated opt_state would all-gather the config-sharded moments
+        # every step (caught by parallel.audit); sharded, the whole update
+        # is local and the step's only collectives are the backward's
+        # all-reduces.  Shardings depend on the state pytree, so the jit is
+        # built lazily on first call.
+        q_sh = NamedSharding(mesh, P(CONFIG_AXIS, None))
+        pts_sh = NamedSharding(mesh, P(POINT_AXIS, None))
+        repl = NamedSharding(mesh, P())
+        _cache = {}
+
+        def build(q, opt_state):
+            def leaf_sh(leaf):
+                shaped = getattr(leaf, "shape", ()) == q.shape
+                return q_sh if shaped else repl
+
+            state_sh = jax.tree_util.tree_map(leaf_sh, opt_state)
+            aux_sh = jax.tree_util.tree_map(lambda _: repl, leaves)
+            return jax.jit(step,
+                           in_shardings=(q_sh, state_sh, pts_sh, aux_sh),
+                           out_shardings=(q_sh, state_sh, repl))
+
+        def jitted(q, opt_state, pts, aux):
+            key = (q.shape,
+                   jax.tree_util.tree_structure((opt_state, aux)))
+            if key not in _cache:
+                _cache[key] = build(q, opt_state)
+            return _cache[key](q, opt_state, pts, aux)
+
+    def run(q, s, pts):
+        return jitted(q, s, pts, leaves)
+
+    def lower(q, s, pts, aux):  # parallel.audit entry (AOT lowering)
+        fn = jitted if mesh is None else build(q, s)
+        return fn.lower(q, s, pts, aux)
+
+    run.jitted = type("_L", (), {"lower": staticmethod(lower)})()
+    run.extra_args = (leaves,)
+    return run

