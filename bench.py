@@ -256,8 +256,15 @@ def main():
     # the mesh-real rows are additive: never lose the headline JSON to a
     # failure (or slow cold build) in these optional sections, and reprint
     # the accumulated JSON after each so a kill between sections keeps
-    # everything measured so far
-    for section in (bench_real_mesh, bench_mesh_arm, bench_tight):
+    # everything measured so far.  PVT_BENCH_SECTIONS="real_mesh,tight"
+    # selects a subset (dry runs / targeted re-measures).
+    sections = (bench_real_mesh, bench_mesh_arm, bench_tight)
+    want = os.environ.get("PVT_BENCH_SECTIONS")
+    if want is not None:
+        names = {s.strip() for s in want.split(",") if s.strip()}
+        sections = tuple(s for s in sections
+                         if s.__name__.removeprefix("bench_") in names)
+    for section in sections:
         try:
             extra = section(jax, jnp, pv, chained, N, log)
         except Exception as e:  # noqa: BLE001 - diagnostic row instead of death

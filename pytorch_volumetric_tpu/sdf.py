@@ -642,13 +642,34 @@ COHERENT_SEG = 4
 def _aabb_distance_grad(bb: jnp.ndarray, pts: jnp.ndarray):
     """Distance-to-AABB under-approximation + its gradient (reference
     sdf.py:555-571).  ONE implementation: the coherent paths' exactness
-    contract requires this math bit-identical everywhere it appears."""
-    dmin = jnp.maximum(bb[:, 0] - pts, 0.0)
-    dmax = jnp.maximum(pts - bb[:, 1], 0.0)
-    dtotal = dmax - dmin  # the dmin component enters negatively
+    contract requires this math bit-identical everywhere it appears.
+
+    ``p - clip(p, lo, hi)`` is bit-identical to the reference's
+    ``max(p - hi, 0) - max(lo - p, 0)`` form (IEEE: ``p - lo == -(lo - p)``
+    exactly) in one clamp pass instead of two max passes — this helper runs
+    per (child, point) in every union, so one saved pass over
+    ``[S, B, seg, FS, 3]`` is measurable (~5 ms/north-star chunk)."""
+    dtotal = pts - jnp.clip(pts, bb[:, 0], bb[:, 1])
     dist = jnp.linalg.norm(dtotal, axis=-1)
     grad = dtotal / jnp.maximum(dist, 1e-12)[..., None]
     return dist, grad
+
+
+def _scattered_rows(shape, nrows):
+    """Distinct filler addresses for gather lanes whose result is discarded.
+
+    Redirecting dead lanes to row 0 was believed to turn scattered HBM reads
+    into cache hits; measured on v5e it does the OPPOSITE — duplicated
+    addresses SERIALIZE on HBM banks (100% row-0 gathers ran 1.75x slower
+    than 100% scattered; artifacts_r05/winner_microbench.json).  Dead lanes
+    therefore read distinct sequential rows, which stream at full bank
+    parallelism.  Built from broadcasted_iota so XLA generates the addresses
+    in-register (no materialized arange/reshape relayout)."""
+    n = len(shape)
+    flat = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    for d in range(1, n):
+        flat = flat * shape[d] + jax.lax.broadcasted_iota(jnp.int32, shape, d)
+    return flat % nrows
 
 
 def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
@@ -670,13 +691,20 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
                                      with_value_bricks=False),)
     fast = [s for s in children if _is_coherent_fast_child(s)]
     single = len(fast) == 1
-    tables = tuple(s._coherent_tables(with_grad_bricks=single) for s in fast)
+    # multi-child unions get gradient-only bricks for the per-TILE winner
+    # fast path (r5, _coherent_union_lookup_tile); single-child compositions
+    # get the 4-channel bricks4 (no union to win)
+    tables = tuple(s._coherent_tables(with_grad_bricks=single,
+                                      with_gradonly_bricks=not single)
+                   for s in fast)
     if not single:
         # A child may carry an in-place-upgraded bricks4 cache from an earlier
         # SINGLE-child composition; multi-child unions never use it, so strip
         # it here — otherwise the 32x-grid-memory table is threaded/replicated
         # through every jit call as a dead argument (wasted HBM + transfer).
         tables = tuple(t._replace(bricks4=None) for t in tables)
+    else:
+        tables = tuple(t._replace(gbricks=None) for t in tables)
     return tables
 
 
@@ -732,6 +760,16 @@ class _CoherentTables(NamedTuple):
     # per dim — always inside a 5-window at anchor 2*floor(min/2) (see
     # _coherent_single_trilinear_lookup).
     bricks5: Optional[jnp.ndarray] = None
+    # [NB, 192] GRADIENT-only 4x4x4 bricks, channel-major
+    # ([gx x64 | gy x64 | gz x64] per 768 B row), for MULTI-child unions'
+    # per-TILE winner fast path (_coherent_union_lookup_tile, r5): the
+    # winner's gradient rides 1-2 brick rows per tile instead of one 16 B
+    # row per point.  The r5 microbench (artifacts_r05/winner_microbench)
+    # showed per-point gathers are ROW-RATE bound (~142M rows/s, address
+    # pattern irrelevant — duplicated addresses are in fact 1.75x SLOWER,
+    # bank serialization), so the only way to beat the 59%-of-forward
+    # winner gather is fewer rows, i.e. tile granularity.
+    gbricks: Optional[jnp.ndarray] = None
 
 
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
@@ -769,7 +807,9 @@ def _coherent_union_values(smalls: Sequence[_CoherentTables],
             corner2 = kc.min(axis=1) // 2                  # [B, FS, 3]
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
             seg_valid = jnp.any(valid, axis=1)
-            bflat = jnp.where(seg_valid, bflat, 0)
+            bflat = jnp.where(seg_valid, bflat,
+                              _scattered_rows(bflat.shape,
+                                              bricks_list[ci].shape[0]))
             rows = bricks_list[ci][bflat]                  # [B, FS, 64]
             off = kc - (corner2 * 2)[:, None, :, :]
             offf = jnp.sum(off * off_ravel, axis=-1)       # [B, seg, FS]
@@ -844,14 +884,13 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
             flat = jnp.sum(kc * t.strides, axis=-1) + int(bases[ci])
             corner2 = kc.min(axis=1) // 2                  # brick coord
             bflat = jnp.sum(corner2 * t.bstrides, axis=-1)     # [B, FS]
-            # segments with no in-bounds point all read brick 0: the gathered
-            # row is discarded by the valid-select below, and the duplicated
-            # address is a cache hit instead of a scattered HBM read.  Robot
-            # link caches are small vs the query grid, so MOST (link, segment)
-            # pairs take this lane (same trick as the generic path's
-            # gather_nearest row-0 redirect).
+            # segments with no in-bounds point read SCATTERED filler rows
+            # (discarded by the valid-select below): duplicated addresses
+            # serialize on HBM banks — see _scattered_rows.
             seg_valid = jnp.any(valid, axis=1)
-            bflat = jnp.where(seg_valid, bflat, 0)
+            bflat = jnp.where(seg_valid, bflat,
+                              _scattered_rows(bflat.shape,
+                                              bricks_list[ci].shape[0]))
             rows = bricks_list[ci][bflat]                      # [B, FS, 64]
             off = kc - (corner2 * 2)[:, None, :, :]            # in [0, 4)
             offf = jnp.sum(off * off_ravel, axis=-1)           # [B, SEG, FS]
@@ -877,9 +916,11 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
                 best_g_oob = jnp.where(better[..., None], g_oob, best_g_oob)
                 best_i = jnp.where(better, ci, best_i)
         # single winner-row gather for the gradient; points whose winner is
-        # out of bounds use the AABB gradient anyway, so redirect them to
-        # row 0 (duplicated address -> cache hit, not a scattered read)
-        best_flat = jnp.where(best_valid, best_flat, 0)
+        # out of bounds use the AABB gradient anyway, so their lanes read
+        # scattered filler rows (see _scattered_rows)
+        best_flat = jnp.where(best_valid, best_flat,
+                              _scattered_rows(best_flat.shape,
+                                              vg_cat.shape[0]))
         g_in = vg_cat[best_flat][..., 1:4]
         g_link = jnp.where(best_valid[..., None], g_in, best_g_oob)
         return best_v, g_link, best_i
@@ -906,6 +947,272 @@ def _coherent_union_lookup(smalls: Sequence[_CoherentTables],
         # shapes statically known at lookup-build time)
         d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
         return (d_pts, d_bricks, jnp.zeros(vg_sd[0], vg_sd[1]))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
+def _coherent_gbrick_bases(smalls: Sequence[_CoherentTables]) -> np.ndarray:
+    """Static row offset of each child's brick-grid table (stride-2 anchor
+    rows, dims ``(n-1)//2+1``) inside a concatenated brick array."""
+    return np.cumsum([0] + [
+        int(np.prod((np.asarray(t.n, dtype=np.int64) - 1) // 2 + 1))
+        for t in smalls])
+
+
+def _coherent_union_lookup_tile(smalls: Sequence[_CoherentTables],
+                                brick_sd: Sequence[tuple], gb_sd: tuple,
+                                vg_sd: tuple, rb_sd: tuple,
+                                seg: int = COHERENT_SEG,
+                                residual_frac: float = 0.04):
+    """Per-TILE winner variant of :func:`_coherent_union_lookup` (r5): the
+    winner's gradient rides 768 B gradient-BRICK rows per tile instead of one
+    16 B row per point, and comes out already rotated into the OBJECT frame.
+
+    Why: the per-point winner gather is ROW-RATE bound (~142M rows/s on v5e
+    — 186 ms for the 26.5M rows of one north-star chunk, 59% of the r4
+    forward), and the rate is independent of address pattern (duplicated
+    addresses measured 1.75x SLOWER — HBM bank serialization — so the
+    redirect-rows-to-0 trick cannot help it; artifacts_r05/
+    winner_microbench.json).  Tile-granular rows are the only lever: 2 brick
+    gathers (24 ms) + winner-one-hot extraction (47 ms) replace the gather.
+
+    Mechanics per tile (measured rates at north-star chunk scale):
+      1. three candidates per tile: first/last distinct in-bounds winners
+         (``eff_min``/``eff_max`` over the seg axis) plus the smallest
+         remaining one — <= 3 distinct winners covers 98.9-100% of tiles
+         (benchmarks/winner_agreement.py);
+      2. gather those children's gradient-brick rows (768 B each) and rotate
+         the 64-cell channel rows into the object frame at TILE level with
+         the tile winner's R (identical per-cell math and add order as
+         ``transforms.rotate_vectors`` — bit-exact);
+      3. extract each point's cells with the winner's one-hot
+         (``best_offf``), select candidate 1 vs 2 per point;
+      4. tiles with >= 4 distinct winners ("middle" tiles, <= 1.1% measured)
+         are COMPACTED at tile granularity (``jnp.nonzero`` over the [B*FS]
+         tile mask — NOT the r3 culled-union's per-(child,point)-pair
+         compaction whose front-end cost 85 ms) and take exact per-point
+         16 B rows only there; capacity is ``residual_frac`` of all tiles
+         (static shape).  Tiles beyond capacity get NaN gradients — exact
+         or LOUD, never silently wrong — and in-bounds values are unaffected.
+
+    Returns ``lookup(pts_c [C, B, seg, FS, 3], bricks_list, gbricks_cat,
+    vg_cat, Rb [C, B, 3, 3]) -> (val [B, seg, FS], g_obj [B, seg, FS, 3],
+    win [B, seg, FS] int32)`` with ``g_obj`` in the OBJECT frame (unlike
+    ``_coherent_union_lookup``, which returns the winner's link frame and
+    leaves rotation to the caller).  ``Rb`` are the link->object rotations
+    of the fast children.  The custom VJP keeps the straight-through
+    point/value semantics and gives ``Rb`` the same cotangent the caller's
+    external rotate chain used to produce (gradient outputs feed joint-angle
+    gradients through R).  ``gb_sd``/``vg_sd``/``rb_sd``: (shape, dtype)
+    for the zero/real cotangents."""
+    C = len(smalls)
+    bases = _coherent_vg_bases(smalls)
+    gbases = _coherent_gbrick_bases(smalls)
+    nbg_total = int(gbases[-1])
+    with jax.ensure_compile_time_eval():
+        iota64 = jnp.arange(64, dtype=jnp.int32)
+        off_ravel = jnp.asarray([16, 4, 1], dtype=jnp.int32)
+
+    def eval_union(pts_c, bricks_list, gbricks_cat, vg_cat, Rb):
+        B, FS = pts_c.shape[1], pts_c.shape[3]
+        dtype = pts_c.dtype
+        best = None
+        bflats = []
+        for ci, t in enumerate(smalls):
+            p = pts_c[ci]                                  # [B, seg, FS, 3]
+            k = jnp.round((p - t.lo) / t.res).astype(jnp.int32)
+            valid = jnp.all((k >= 0) & (k < t.n), axis=-1)
+            kc = jnp.clip(k, 0, t.n - 1)
+            flat = jnp.sum(kc * t.strides, axis=-1) + int(bases[ci])
+            corner2 = kc.min(axis=1) // 2                  # [B, FS, 3]
+            bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
+            seg_valid = jnp.any(valid, axis=1)
+            bflat = jnp.where(seg_valid, bflat,
+                              _scattered_rows(bflat.shape,
+                                              bricks_list[ci].shape[0]))
+            bflats.append(bflat)
+            rows = bricks_list[ci][bflat]                  # [B, FS, 64]
+            off = kc - (corner2 * 2)[:, None, :, :]
+            offf = jnp.sum(off * off_ravel, axis=-1)       # [B, seg, FS]
+            oh64 = (offf[..., None] == iota64).astype(dtype)
+            v_in = jnp.sum(rows[:, None, :, :] * oh64, axis=-1)
+            v_oob, g_oob = _aabb_distance_grad(t.bb, p)
+            # rotate the AABB fallback gradient into the OBJECT frame here,
+            # per child (the only per-point rotations left; in-bounds
+            # gradients are rotated at TILE level below)
+            g_oob_obj = tfm.rotate_vectors(Rb[ci][:, None], g_oob)
+            v = jnp.where(valid, v_in, v_oob)
+            if best is None:
+                best = dict(v=v, flat=flat, valid=valid, g_oob=g_oob_obj,
+                            i=jnp.zeros_like(flat), offf=offf)
+            else:
+                better = v < best["v"]
+                best = dict(
+                    v=jnp.where(better, v, best["v"]),
+                    flat=jnp.where(better, flat, best["flat"]),
+                    valid=jnp.where(better, valid, best["valid"]),
+                    g_oob=jnp.where(better[..., None], g_oob_obj,
+                                    best["g_oob"]),
+                    i=jnp.where(better, ci, best["i"]),
+                    offf=jnp.where(better, offf, best["offf"]))
+        best_v, best_i, best_valid = best["v"], best["i"], best["valid"]
+
+        # ---- per-tile first/last distinct in-bounds winner ----
+        eff_min = jnp.where(best_valid, best_i, C).min(axis=1)   # [B, FS]
+        eff_max = jnp.where(best_valid, best_i, -1).max(axis=1)
+        # scattered filler addresses for unused candidate slots: row-0
+        # duplicates SERIALIZE on HBM banks (microbench: 1.75x slower than
+        # scattered), so idle lanes read distinct sequential rows instead
+        filler = (jax.lax.broadcasted_iota(jnp.int32, (B, FS), 0) * FS
+                  + jax.lax.broadcasted_iota(jnp.int32, (B, FS), 1)) \
+            % nbg_total
+
+        def candidate(ceff):
+            """Object-frame rotated 64-cell gradient channels of the brick
+            of child ``ceff[B, FS]`` at each tile (3 x [B, FS, 64])."""
+            addr = filler
+            r9 = jnp.zeros((B, FS, 3, 3), dtype)
+            for ci in range(C):
+                m = ceff == ci
+                addr = jnp.where(m, int(gbases[ci]) + bflats[ci], addr)
+                r9 = jnp.where(m[..., None, None], Rb[ci][:, None], r9)
+            rows = gbricks_cat[addr]                     # [B, FS, 192]
+            # tile-level rotation; term order matches rotate_vectors
+            # (bit-exact per cell)
+            return [r9[..., o, 0, None] * rows[..., 0:64]
+                    + r9[..., o, 1, None] * rows[..., 64:128]
+                    + r9[..., o, 2, None] * rows[..., 128:192]
+                    for o in range(3)]
+
+        # candidates 1..3: first/last distinct winners, then the smallest
+        # remaining one — <= 3 distinct winners covers 98.9-100% of tiles
+        # (winner_agreement.py), so the residual lane only carries the
+        # >= 4-winner tail (<= 1.1% measured; cap has ~5x headroom)
+        ohw = (best["offf"][..., None] == iota64).astype(dtype)
+        # candidate list is static in C: a union of C children can never
+        # have more than C distinct winners per tile
+        cand_specs = [eff_min]
+        if C >= 2:
+            cand_specs.append(jnp.where(eff_max > eff_min, eff_max, -1))
+        if C >= 3:
+            cand_specs.append(None)  # resolved below from `covered`
+        g_cand = None
+        covered = jnp.zeros(best_i.shape, dtype=bool)
+        for ceff in cand_specs:
+            if ceff is None:  # third: smallest winner not yet covered
+                rem = jnp.where(best_valid & ~covered, best_i, C)
+                eff_mid = rem.min(axis=1)
+                ceff = jnp.where(eff_mid < C, eff_mid, -1)
+            rows_k = candidate(ceff)
+            g_k = jnp.stack([jnp.sum(rows_k[c][:, None] * ohw, axis=-1)
+                             for c in range(3)], axis=-1)  # [B, seg, FS, 3]
+            mask_k = best_i == ceff[:, None, :]  # ceff==-1 matches nothing
+            g_cand = g_k if g_cand is None else jnp.where(
+                mask_k[..., None], g_k, g_cand)
+            covered = covered | mask_k
+
+        if C <= 3:
+            # three candidates exhaust every possible winner: no residual
+            # lane, no overflow — the whole compaction/gather/scatter block
+            # below is statically dead
+            return best_v, jnp.where(best_valid[..., None], g_cand,
+                                     best["g_oob"]), best_i
+
+        # ---- residual: tiles with >= 4 distinct winners ----
+        middle = jnp.any(best_valid & ~covered, axis=1)  # [B, FS]
+        mflat = middle.reshape(-1)
+        # floor of 32 tiles so tiny (debug-scale) workloads never overflow
+        # just because ceil(frac * few) is small; tiny caps only matter for
+        # the overflow tests, which pass residual_frac ~ 0 explicitly
+        cap = min(B * FS, max(int(math.ceil(B * FS * residual_frac)),
+                              min(32, B * FS) if residual_frac >= 1e-6 else 1))
+        (idx,) = jnp.nonzero(mflat, size=cap, fill_value=B * FS)
+        bi, fi = idx // FS, idx % FS           # padding rows: bi == B (OOB)
+        bi_s = jnp.minimum(bi, B - 1)
+        fi_s = jnp.minimum(fi, FS - 1)
+        # transpose to seg-MINOR first so each tile's residual fetch is ONE
+        # contiguous row (advanced indexing [cap, :] on the engine's
+        # seg-second-minor layout would lower to cap*seg strided
+        # single-element gather rows — the row-rate-bound cost class this
+        # path exists to avoid).  The winner index packs into the flat
+        # index's top bits so ONE relayout transpose serves both (a [B,
+        # seg, FS] int32 transpose is ~11 ms at north-star scale).
+        assert int(bases[-1]) < (1 << 28) and C <= 8, \
+            "packed residual transpose needs flat < 2^28 and <= 8 children"
+        packed_t = jnp.swapaxes(best["flat"] | (best_i << 28), 1, 2)
+        res_packed = packed_t[bi_s, fi_s]                # [cap, seg]
+        res_win = res_packed >> 28
+        res_flat = res_packed & ((1 << 28) - 1)
+        # padding entries (idx beyond the middle-tile count) would all read
+        # the SAME clamped tile -> duplicated addresses serialize on HBM
+        # banks (1.75x slower than scattered; winner_microbench) — give them
+        # distinct sequential rows instead
+        pad = (idx >= B * FS)[:, None]
+        iota_sc = (jax.lax.broadcasted_iota(jnp.int32, (cap, seg), 0) * seg
+                   + jax.lax.broadcasted_iota(jnp.int32, (cap, seg), 1)) \
+            % int(bases[-1])
+        res_flat = jnp.where(pad, iota_sc, res_flat)
+        res_win = jnp.where(pad, 0, res_win)
+        res_g = vg_cat[res_flat][..., 1:4]
+        rr = jnp.zeros(res_g.shape[:2] + (3, 3), dtype)  # [cap, seg, 3, 3]
+        for ci in range(C):
+            m = res_win == ci
+            rr = jnp.where(m[..., None, None], Rb[ci][bi_s][:, None], rr)
+        res_g_obj = tfm.rotate_vectors(rr, res_g[..., None, :])[..., 0, :]
+        g_sc = jnp.zeros((B, FS, seg, 3), dtype).at[bi, fi].set(
+            res_g_obj, mode="drop")
+        g_res = jnp.swapaxes(g_sc, 1, 2)                 # [B, seg, FS, 3]
+        # capacity overflow: exact or LOUD — NaN-poison uncovered middle
+        # tiles' in-bounds gradients instead of returning silently wrong ones
+        mint = mflat.astype(jnp.int32)
+        rank = (jnp.cumsum(mint) - mint).reshape(B, FS)
+        overflow = middle & (rank >= cap)
+
+        g_in = jnp.where(middle[:, None, :, None], g_res, g_cand)
+        g_in = jnp.where(overflow[:, None, :, None], jnp.float32(np.nan),
+                         g_in)
+        g_obj = jnp.where(best_valid[..., None], g_in, best["g_oob"])
+        return best_v, g_obj, best_i
+
+    @jax.custom_vjp
+    def lookup(pts_c, bricks_list, gbricks_cat, vg_cat, Rb):
+        return eval_union(pts_c, bricks_list, gbricks_cat, vg_cat, Rb)
+
+    def fwd(pts_c, bricks_list, gbricks_cat, vg_cat, Rb):
+        val, g_obj, win = eval_union(pts_c, bricks_list, gbricks_cat,
+                                     vg_cat, Rb)
+        return (val, g_obj, win), (g_obj, win, Rb)
+
+    def bwd(residual, cotangents):
+        g_obj, win, Rb = residual
+        ct_val, ct_g = cotangents[0], cotangents[1]
+        d_pts = []
+        d_Rb = []
+        for ci in range(C):
+            mask = (win == ci).astype(g_obj.dtype)
+            r = Rb[ci][:, None, None]                    # [B, 1, 1, 3, 3]
+            # winner gradient back in child ci's LINK frame: R^T g_obj
+            # (straight-through: d val / d pts_c[ci] = mask * link gradient,
+            # same as _coherent_union_lookup's bwd up to the R^T(R g)
+            # round-trip ulp)
+            g_link = jnp.stack(
+                [r[..., 0, i] * g_obj[..., 0] + r[..., 1, i] * g_obj[..., 1]
+                 + r[..., 2, i] * g_obj[..., 2] for i in range(3)], axis=-1)
+            d_pts.append(mask[..., None] * (ct_val[..., None] * g_link))
+            # rotation transpose: d R[o, i] = sum over this child's winner
+            # points of ct_g[o] * g_link[i] (the cotangent the caller's
+            # external rotate chain produced in the per-point design)
+            ct_gm = ct_g * mask[..., None]
+            d_Rb.append(jnp.stack(
+                [jnp.stack([jnp.sum(ct_gm[..., o] * g_link[..., i],
+                                    axis=(1, 2)) for i in range(3)], axis=-1)
+                 for o in range(3)], axis=-2))           # [B, 3, 3]
+        d_bricks = tuple(jnp.zeros(s, d) for s, d in brick_sd)
+        return (jnp.stack(d_pts), d_bricks,
+                jnp.zeros(gb_sd[0], gb_sd[1]),
+                jnp.zeros(vg_sd[0], vg_sd[1]),
+                jnp.stack(d_Rb))
 
     lookup.defvjp(fwd, bwd)
     return lookup
@@ -944,7 +1251,8 @@ def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
         corner2 = kc.min(axis=1) // 2
         bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
         seg_valid = jnp.any(valid, axis=1)
-        bflat = jnp.where(seg_valid, bflat, 0)
+        bflat = jnp.where(seg_valid, bflat,
+                          _scattered_rows(bflat.shape, bricks4.shape[0]))
         rows = bricks4[bflat]                               # [B, FS, 256]
         off = kc - (corner2 * 2)[:, None, :, :]
         offf = jnp.sum(off * off_ravel, axis=-1)            # [B, SEG, FS]
@@ -1044,7 +1352,8 @@ def _coherent_single_trilinear_lookup(t: _CoherentTables, b5_sd: tuple,
         corner2 = i0.min(axis=1) // 2                   # [B, FS, 3]
         bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
         seg_valid = jnp.any(valid, axis=1)
-        bflat = jnp.where(seg_valid, bflat, 0)
+        bflat = jnp.where(seg_valid, bflat,
+                          _scattered_rows(bflat.shape, bricks5.shape[0]))
         rows = bricks5[bflat]                           # [B, FS, 512]
         # off in [0, 3] per dim under the tile contract (clipped floor-key
         # span <= 2 plus anchor parity; the +1 corner extent brings the max
@@ -1123,9 +1432,17 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                            obj_to_link: jnp.ndarray, link_to_obj: jnp.ndarray,
                            batch: int, points: jnp.ndarray,
                            fast_tables=None, values_only: bool = False,
-                           generic_aux=None, seg: int = COHERENT_SEG):
+                           generic_aux=None, seg: int = COHERENT_SEG,
+                           residual_frac: float = 0.04):
     """Min-union query like :func:`compose_query` but using the segmented
     brick-gather fast path for ``CachedSDF`` children.
+
+    ``residual_frac``: static capacity of the per-TILE winner path's
+    residual lane (the fraction of tiles allowed to have >= 3 distinct
+    winning links — measured 1-6% on the benchmark workloads,
+    benchmarks/winner_agreement.py), as a fraction of all (config, tile)
+    pairs.  Tiles beyond capacity get NaN gradients (exact or LOUD; see
+    :func:`_coherent_union_lookup_tile`).
 
     Contract: ``points [F, 3]`` with ``F % seg == 0`` and every consecutive
     ``seg``-point group's integer voxel keys landing inside one
@@ -1244,7 +1561,8 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
                     f"{len(fast)} children take the coherent fast path")
         else:
             tables = [children[i]._coherent_tables(
-                with_grad_bricks=len(fast) == 1) for i in fast]
+                with_grad_bricks=len(fast) == 1,
+                with_gradonly_bricks=len(fast) > 1) for i in fast]
         # the tiny per-child fields (lo/res/dims/strides/bb) must be
         # trace-time CONSTANTS even when tables arrive as jit-argument
         # tracers: as traced values XLA emits a true division for
@@ -1276,8 +1594,29 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
             best_v = val
             best_g = tfm.rotate_vectors(R_back[fast[0]][:, None], g_link)
             best_i = jnp.full(val.shape, fast[0], dtype=jnp.int32)
+        elif all(t.gbricks is not None for t in tables):
+            # per-TILE winner fast path (r5): winner gradients ride 768 B
+            # gradient-brick rows per tile — the per-point 16 B row gather
+            # is row-rate bound (59% of the r4 forward) and no address
+            # trick can cheapen it (_coherent_union_lookup_tile docstring)
+            vg_cat = jnp.concatenate([t.vg for t in tables], axis=0)
+            g_cat = jnp.concatenate([t.gbricks for t in tables], axis=0)
+            rb = jnp.stack([R_back[i] for i in fast])    # [C, B, 3, 3]
+            lookup = _coherent_union_lookup_tile(
+                smalls,
+                [(t.bricks.shape, t.bricks.dtype) for t in tables],
+                (g_cat.shape, g_cat.dtype), (vg_cat.shape, vg_cat.dtype),
+                (rb.shape, rb.dtype), seg=seg, residual_frac=residual_frac)
+            val, best_g, win = lookup(
+                jnp.stack([pts_all[i] for i in fast]),
+                tuple(t.bricks for t in tables), g_cat, vg_cat, rb)
+            best_i = jnp.zeros(val.shape, dtype=jnp.int32)
+            for ci, i in enumerate(fast):
+                best_i = jnp.where(win == ci, i, best_i)
+            best_v = val
         else:
-            # winner-gradient rows: the children's packed [G, 4] tables
+            # legacy per-point winner rows (fast_tables built without
+            # gradient bricks): the children's packed [G, 4] tables
             # concatenated in child order.  When tables arrive as jit
             # arguments the concat is ONE device op per dispatch, hoisted out
             # of any scan (~0.2 ms at HBM bandwidth for the 8-link headline
@@ -1688,11 +2027,11 @@ class CachedSDF(ObjectFrameSDF):
             keys = jnp.round((pts - lo) / res).astype(jnp.int32)
             valid = jnp.all((keys >= 0) & (keys < n), axis=-1)
             flat_idx = jnp.sum(jnp.clip(keys, 0, n - 1) * strides, axis=-1)
-            # out-of-bounds lanes all read row 0: their gathered value is
-            # discarded by the select below, and the duplicated address turns
-            # a random HBM access into a cache hit — with tight grids most
-            # lanes are out-of-bounds, making the gather nearly free
-            flat_idx = jnp.where(valid, flat_idx, 0)
+            # out-of-bounds lanes read SCATTERED filler rows (discarded by
+            # the select below): duplicated addresses serialize on HBM banks
+            # (1.75x slower than scattered — see _scattered_rows)
+            flat_idx = jnp.where(valid, flat_idx,
+                                 _scattered_rows(flat_idx.shape, vg.shape[0]))
             rows = vg[flat_idx]
             return rows[..., 0], rows[..., 1:4], valid
 
@@ -1712,9 +2051,11 @@ class CachedSDF(ObjectFrameSDF):
                 idx = i0 + offs
                 wt = jnp.prod(jnp.where(offs == 1, w, 1.0 - w), axis=-1)
                 flat_idx = jnp.sum(idx * strides, axis=-1)
-                # out-of-bounds lanes read row 0 (discarded by the caller's
-                # select; duplicated address -> cache hit, see gather_nearest)
-                flat_idx = jnp.where(valid, flat_idx, 0)
+                # out-of-bounds lanes read scattered filler rows (discarded
+                # by the caller's select; see gather_nearest/_scattered_rows)
+                flat_idx = jnp.where(valid, flat_idx,
+                                     _scattered_rows(flat_idx.shape,
+                                                     vg.shape[0]))
                 acc = acc + wt[..., None] * vg[flat_idx]
             return acc[..., 0], acc[..., 1:4], valid
 
@@ -1753,7 +2094,9 @@ class CachedSDF(ObjectFrameSDF):
 
     def _coherent_tables(self, with_grad_bricks: bool = False,
                          with_tri_bricks: bool = False,
-                         with_value_bricks: bool = True) -> _CoherentTables:
+                         with_value_bricks: bool = True,
+                         with_gradonly_bricks: bool = False) \
+            -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
         of VALUE cells at stride 2 per dimension (gradients come from a
@@ -1773,12 +2116,14 @@ class CachedSDF(ObjectFrameSDF):
         c = getattr(self, "_coherent_cache", None)
         if (c is not None and (not with_grad_bricks or c.bricks4 is not None)
                 and (not with_tri_bricks or c.bricks5 is not None)
-                and (not with_value_bricks or c.bricks is not None)):
+                and (not with_value_bricks or c.bricks is not None)
+                and (not with_gradonly_bricks or c.gbricks is not None)):
             return c
         return self._build_coherent_tables(
             with_grad_bricks=with_grad_bricks,
             with_tri_bricks=with_tri_bricks,
-            with_value_bricks=with_value_bricks)
+            with_value_bricks=with_value_bricks,
+            with_gradonly_bricks=with_gradonly_bricks)
 
     def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray,
                       width: int = 4) -> jnp.ndarray:
@@ -1802,7 +2147,8 @@ class CachedSDF(ObjectFrameSDF):
 
     def _build_coherent_tables(self, with_grad_bricks: bool = False,
                                with_tri_bricks: bool = False,
-                               with_value_bricks: bool = True) \
+                               with_value_bricks: bool = True,
+                               with_gradonly_bricks: bool = False) \
             -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
         # 8x brick expansion never crosses the (slow, tunneled) host link.
@@ -1834,6 +2180,18 @@ class CachedSDF(ObjectFrameSDF):
                 # relayout + 4-wide lane waste; see _coherent_single_lookup)
                 bricks4 = jnp.swapaxes(
                     b4.reshape(-1, 64, 4), 1, 2).reshape(-1, 256)
+            gbricks = prev.gbricks if prev is not None else None
+            if with_gradonly_bricks and gbricks is None:
+                # gradient-only channel-major rows [gx x64 | gy x64 | gz x64]
+                # (768 B) for the multi-child per-TILE winner fast path —
+                # 24x grid memory (vs bricks4's 32x: no value channel; the
+                # union's values keep riding the cheap 256 B value bricks)
+                vol3 = self._vg[:, 1:4].reshape(tuple(int(d) for d in n)
+                                                + (3,))
+                g3 = self._brick_expand(jnp.pad(vol3, pad_spec + [(0, 0)]),
+                                        nb)
+                gbricks = jnp.swapaxes(
+                    g3.reshape(-1, 64, 3), 1, 2).reshape(-1, 192)
             if with_tri_bricks and bricks5 is None:
                 # 5x5x5 windows need one more padded cell (anchor 2*(nb-1)
                 # + extent 5) than the 4x4x4 expansion's npad
@@ -1857,7 +2215,7 @@ class CachedSDF(ObjectFrameSDF):
                 vg=vg, bricks=bricks,
                 bstrides=jnp.asarray(bstrides, dtype=jnp.int32),
                 bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32),
-                bricks4=bricks4, bricks5=bricks5)
+                bricks4=bricks4, bricks5=bricks5, gbricks=gbricks)
         return self._coherent_cache
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):

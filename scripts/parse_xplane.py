@@ -22,7 +22,12 @@ def main():
     path = paths[-1]
     print(f"parsing {path}", file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tools_data
+    try:  # xprof first: the old tensorboard_plugin_profile 2.13 protos
+        # are incompatible with the installed protobuf
+        from xprof.convert import raw_to_tool_data as raw_to_tools_data
+    except (ImportError, TypeError):
+        from tensorboard_plugin_profile.convert import (
+            raw_to_tool_data as raw_to_tools_data)
 
     for tool in ("hlo_stats", "op_profile", "framework_op_stats",
                  "kernel_stats"):

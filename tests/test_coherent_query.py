@@ -622,3 +622,133 @@ def test_multi_child_tables_skip_grad_bricks(robot):
     ft = coherent_fast_tables(robot.sdf.sdfs)
     assert len(ft) > 1
     assert all(t.bricks4 is None for t in ft)
+
+
+def _junction_union(tmp_path, n_children=3, radius=0.012):
+    """A union of small cached spheres whose centers sit on a circle of
+    ``radius`` in the x-y plane: a query tile containing the circle's center
+    sees every angular Voronoi sector at once — forcing tiles with many
+    distinct winning children (the per-tile winner path's residual lane)."""
+    import pytorch_volumetric_tpu.transforms as tfm
+    from pytorch_volumetric_tpu.sdf import ComposedSDF
+
+    children = []
+    mats = []
+    for i in range(n_children):
+        gt = pv.SphereSDF(0.02)
+        c = pv.CachedSDF(f"j{i}", 0.04, np.array([[-0.5, 0.5]] * 3), gt,
+                         cache_path=str(tmp_path / f"j{i}.npz"))
+        children.append(c)
+        ang = 2 * np.pi * i / n_children
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = -radius * np.cos(ang)
+        m[1, 3] = -radius * np.sin(ang)
+        mats.append(m)
+    tsf = tfm.Transform3d(matrix=np.stack(mats))
+    return ComposedSDF(children, tsf)
+
+
+def test_tile_winner_residual_path(tmp_path):
+    """Tiles with >= 3 distinct winners take the compacted per-point residual
+    lane and stay bit-identical to the generic path (CPU)."""
+    sdf = _junction_union(tmp_path, n_children=6)
+    # 27-point 3D tiles at ratio 2 span 0.04; tiles near the circle center
+    # see 4-6 angular Voronoi sectors (>= 4 exercises the residual lane
+    # under the 3-candidate design)
+    # x/y ranges offset so one tile's 3x3 (x, y) footprint STRADDLES the
+    # circle center (a center on a tile corner shows each tile only one
+    # quadrant ~ 2-3 sectors)
+    qr = np.array([[-0.07, 0.05], [-0.07, 0.05], [-0.04, 0.04]])
+    pts_t, take, seg = pv.get_coherent_tile_points(0.02, qr,
+                                                   cache_resolution=0.04)
+    assert sdf.check_coherent_contract(pts_t, seg=seg)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, qr)
+
+    # confirm the workload actually exercises >= 3-winner tiles
+    v_each = np.stack([np.asarray(c(np.asarray(
+        pv.transforms.transform_points(sdf.obj_frame_to_link_frame.get_matrix()[i],
+                                       pts_t)))[0]) for i, c in enumerate(sdf.sdfs)])
+    winners = v_each.argmin(axis=0).reshape(-1, seg)
+    n_distinct = np.array([len(set(w)) for w in winners])
+    assert (n_distinct >= 4).any(), "fixture no longer forces middle tiles"
+
+    v_gen, g_gen = sdf(pts_g)
+    v_coh, g_coh = sdf.query_coherent(pts_t, seg=seg)
+    assert np.isfinite(np.asarray(g_coh)).all()
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v_coh)[take], np.asarray(v_gen))
+        np.testing.assert_array_equal(np.asarray(g_coh)[take], np.asarray(g_gen))
+    else:
+        np.testing.assert_allclose(np.asarray(v_coh)[take], np.asarray(v_gen),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_coh)[take], np.asarray(g_gen),
+                                   atol=1e-5)
+
+
+def test_tile_winner_residual_overflow_is_loud(tmp_path):
+    """Middle tiles beyond the static residual capacity must yield NaN
+    gradients (exact or LOUD), never silently wrong values."""
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
+
+    sdf = _junction_union(tmp_path, n_children=6)
+    # x/y ranges offset so one tile's 3x3 (x, y) footprint STRADDLES the
+    # circle center (a center on a tile corner shows each tile only one
+    # quadrant ~ 2-3 sectors)
+    qr = np.array([[-0.07, 0.05], [-0.07, 0.05], [-0.04, 0.04]])
+    pts_t, take, seg = pv.get_coherent_tile_points(0.02, qr,
+                                                   cache_resolution=0.04)
+    children = tuple(sdf.sdfs)
+    ft = coherent_fast_tables(children)
+    m = sdf.obj_frame_to_link_frame.get_matrix()
+    m_inv = sdf.link_frame_to_obj_frame
+
+    v_ref, g_ref = compose_query_coherent(children, m, m_inv, 1, pts_t,
+                                          fast_tables=ft, seg=seg)
+    assert np.isfinite(np.asarray(g_ref)).all()
+
+    # near-zero capacity: some middle tiles overflow -> NaN-poisoned grads
+    v_of, g_of = compose_query_coherent(children, m, m_inv, 1, pts_t,
+                                        fast_tables=ft, seg=seg,
+                                        residual_frac=1e-9)
+    # values are unaffected (winner selection never uses the residual lane)
+    np.testing.assert_array_equal(np.asarray(v_of), np.asarray(v_ref))
+    g_of = np.asarray(g_of)
+    assert np.isnan(g_of).any(), "overflow should NaN-poison gradients"
+    # non-poisoned points still match exactly
+    ok = np.isfinite(g_of).all(axis=-1)
+    np.testing.assert_array_equal(g_of[ok], np.asarray(g_ref)[ok])
+
+
+def test_tile_winner_backward_matches_generic(robot):
+    """Joint-angle gradients THROUGH the per-tile winner path (value and
+    gradient outputs both contributing) match the generic path."""
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query,
+                                            compose_query_coherent)
+
+    q = _configs()
+    children = tuple(robot.sdf.sdfs)
+    ft = coherent_fast_tables(children)
+    assert len(ft) > 1 and all(t.gbricks is not None for t in ft)
+    qr = np.array([[-0.5, 0.3], [0.01, 0.01], [-0.3, 0.5]])
+    pts_t, take, seg = pv.get_coherent_tile_points(0.02, qr,
+                                                   cache_resolution=0.04)
+
+    def loss_tile(qq):
+        m, m_inv = robot._link_transforms(qq)
+        v, g = compose_query_coherent(children, m, m_inv, qq.shape[0], pts_t,
+                                      fast_tables=ft, seg=seg)
+        return v.sum() + g.sum()
+
+    raws = tuple(s.raw_query for s in children)
+
+    def loss_gen(qq):
+        m, m_inv = robot._link_transforms(qq)
+        v, g = compose_query(raws, m, m_inv, qq.shape[0], pts_t)
+        return v.sum() + g.sum()
+
+    g_tile = jax.grad(loss_tile)(q)
+    g_gen = jax.grad(loss_gen)(q)
+    np.testing.assert_allclose(np.asarray(g_tile), np.asarray(g_gen),
+                               rtol=2e-4, atol=2e-4)
