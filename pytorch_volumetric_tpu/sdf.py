@@ -672,6 +672,33 @@ def _scattered_rows(shape, nrows):
     return flat % nrows
 
 
+def _coherent_classify(children) -> tuple:
+    """``(fast_idx, tri_idx, generic_idx)`` — the ONE definition of which
+    children take which path in :func:`compose_query_coherent` (mirrored by
+    :func:`coherent_fast_tables`, :func:`coherent_generic_aux`,
+    ``check_coherent_contract`` and ``coherent_min_cache_resolution``):
+
+    - ``fast_idx``: nearest-mode BOUNDING_BOX caches (the 4x4x4 value-brick
+      union with per-tile winner gradients);
+    - ``tri_idx``: trilinear BOUNDING_BOX caches when they can take the
+      multi-child TRILINEAR union (at least two of them and no nearest-fast
+      children — mixed unions evaluate trilinear children generically, and
+      a single trilinear child in a multi-child union stays generic too);
+    - ``generic_idx``: everything else (per-point raw_query sub-path).
+
+    A composition whose ONLY child is a trilinear cache is handled before
+    classification by the single-child 5x5x5 path
+    (:func:`_coherent_single_trilinear_child`)."""
+    fast = [i for i, s in enumerate(children) if _is_coherent_fast_child(s)]
+    tri = [i for i, s in enumerate(children)
+           if _is_coherent_trilinear_child(s)]
+    if fast or len(tri) < 2:
+        tri = []
+    generic = [i for i in range(len(children))
+               if i not in fast and i not in tri]
+    return fast, tri, generic
+
+
 def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     """The ``_CoherentTables`` tuple for the coherent-fast children of
     ``children`` (in child order), ready to thread into
@@ -684,12 +711,19 @@ def coherent_fast_tables(children: Sequence["ObjectFrameSDF"]):
     layout (see :func:`_coherent_single_lookup`).  A composition whose ONE
     child is a trilinear BOUNDING_BOX cache gets the 5x5x5 ``bricks5``
     table for the trilinear fast path instead
-    (:func:`_coherent_single_trilinear_lookup`)."""
+    (:func:`_coherent_single_trilinear_lookup`); a union of two or more
+    trilinear caches gets the value/gradient 5x5x5 tables of the
+    multi-child TRILINEAR union (:func:`_coherent_union_lookup_tile_tri`)."""
     tri = _coherent_single_trilinear_child(children)
     if tri is not None:
         return (tri._coherent_tables(with_tri_bricks=True,
                                      with_value_bricks=False),)
-    fast = [s for s in children if _is_coherent_fast_child(s)]
+    fast_idx, tri_idx, _ = _coherent_classify(children)
+    if tri_idx:
+        return tuple(children[i]._coherent_tables(
+            with_value_bricks=False, with_tri_value_bricks=True,
+            with_tri_gradonly_bricks=True) for i in tri_idx)
+    fast = [children[i] for i in fast_idx]
     single = len(fast) == 1
     # multi-child unions get gradient-only bricks for the per-TILE winner
     # fast path (r5, _coherent_union_lookup_tile); single-child compositions
@@ -722,14 +756,15 @@ def coherent_min_cache_resolution(children) -> Optional[float]:
     ``children``, or ``None`` when there are none — the ``cache_resolution``
     to hand :func:`voxel.get_coherent_tile_points` when building a tiled
     sweep over these children (the ONE definition of 'which ratio governs
-    tile safety'; every tile-path consumer must use it).  A single
-    trilinear child counts too: the trilinear fast path shares the same
+    tile safety'; every tile-path consumer must use it).  Trilinear
+    children count when they take a trilinear fast path (single-child
+    5x5x5 or the multi-trilinear union): those paths share the same
     per-axis span bound (see :func:`_coherent_single_trilinear_lookup`)."""
     tri = _coherent_single_trilinear_child(children)
     if tri is not None:
         return float(tri.resolution)
-    vals = [float(s.resolution) for s in children
-            if _is_coherent_fast_child(s)]
+    fast_idx, tri_idx, _ = _coherent_classify(children)
+    vals = [float(children[i].resolution) for i in fast_idx + tri_idx]
     return min(vals) if vals else None
 
 
@@ -770,6 +805,13 @@ class _CoherentTables(NamedTuple):
     # bank serialization), so the only way to beat the 59%-of-forward
     # winner gather is fewer rows, i.e. tile granularity.
     gbricks: Optional[jnp.ndarray] = None
+    # multi-child TRILINEAR union tables (_coherent_union_lookup_tile_tri,
+    # r5): [NB, 128] VALUE-only 5x5x5 bricks (125 cells lane-padded to 128;
+    # ~15.6x grid memory) and [NB, 384] GRADIENT-only 5x5x5 bricks,
+    # channel-major ([gx x128 | gy x128 | gz x128]; ~47x grid memory).
+    # Same stride-2 anchors/bstrides as bricks5.
+    tbricks: Optional[jnp.ndarray] = None
+    tgbricks: Optional[jnp.ndarray] = None
 
 
 def _coherent_union_values(smalls: Sequence[_CoherentTables],
@@ -1218,6 +1260,266 @@ def _coherent_union_lookup_tile(smalls: Sequence[_CoherentTables],
     return lookup
 
 
+def _coherent_union_lookup_tile_tri(smalls: Sequence[_CoherentTables],
+                                    tb_sd: Sequence[tuple], tgb_sd, vg_sd,
+                                    rb_sd, seg: int = COHERENT_SEG,
+                                    residual_frac: float = 0.04,
+                                    values_only: bool = False):
+    """Multi-child TRILINEAR union on the per-TILE winner design (r5) —
+    the trilinear analog of :func:`_coherent_union_lookup_tile`, removing
+    the generic trilinear path's 8-corner-rows-per-(child, point) cliff
+    (measured 20.4M q/s, artifacts_r04/trilinear.json).
+
+    Values: one 512 B 5x5x5 VALUE-brick row per (child, tile)
+    (``tbricks``), per-point 8-corner lerp via static lane rolls in the
+    exact corner order of ``CachedSDF.gather_trilinear`` (bit-identical,
+    same contract as :func:`_coherent_single_trilinear_lookup`).
+
+    Winner gradients: up to three per-tile candidate children (same
+    eff_min/eff_max/remaining scheme as the nearest version) read 1.5 KB
+    gradient-only 5x5x5 rows (``tgbricks``), the winner's 8-corner lerp
+    accumulates in LINK frame per candidate, the per-point result selects
+    among candidates and is rotated ONCE per point with the
+    candidate-selected R — lerp-then-rotate, matching the generic path's
+    op order exactly (rotation does NOT distribute over the lerp sum
+    bitwise, so tile-level row rotation as in the nearest engine would
+    break the CPU bit-exactness contract here).  Tiles with >= 4 distinct
+    winners take the tile-compacted per-point residual lane (exact
+    8-corner vg lerp); capacity overflow NaN-poisons like the nearest
+    version.  ``values_only=True`` returns just the value function
+    (inference; callers stop gradients)."""
+    C = len(smalls)
+    bases = _coherent_vg_bases(smalls)
+    gbases = _coherent_gbrick_bases(smalls)
+    nbg_total = int(gbases[-1])
+    with jax.ensure_compile_time_eval():
+        iota128 = jnp.arange(128, dtype=jnp.int32)
+
+    corner_offs = [[(corner >> d) & 1 for d in range(3)] for corner in
+                   range(8)]
+
+    def corner_weight(w, offs):
+        # weight product in gather_trilinear's exact reduce order (x, y, z)
+        wt = ((w[..., 0] if offs[0] else 1.0 - w[..., 0])
+              * (w[..., 1] if offs[1] else 1.0 - w[..., 1]))
+        return wt * (w[..., 2] if offs[2] else 1.0 - w[..., 2])
+
+    def eval_union(pts_c, tbricks_list, tgbricks_cat=None, vg_cat=None,
+                   Rb=None):
+        B, FS = pts_c.shape[1], pts_c.shape[3]
+        dtype = pts_c.dtype
+        best = None
+        bflats = []
+        for ci, t in enumerate(smalls):
+            p = pts_c[ci]                                  # [B, seg, FS, 3]
+            f = (p - t.lo) / t.res
+            keys = jnp.round(f).astype(jnp.int32)
+            valid = jnp.all((keys >= 0) & (keys < t.n), axis=-1)
+            fc = jnp.clip(f, 0.0, (t.n - 1).astype(dtype))
+            i0 = jnp.clip(jnp.floor(fc).astype(jnp.int32), 0, t.n - 2)
+            w = fc - i0.astype(dtype)                      # [B, seg, FS, 3]
+            corner2 = i0.min(axis=1) // 2                  # [B, FS, 3]
+            bflat = jnp.sum(corner2 * t.bstrides, axis=-1)
+            seg_valid = jnp.any(valid, axis=1)
+            bflat = jnp.where(seg_valid, bflat,
+                              _scattered_rows(bflat.shape,
+                                              tbricks_list[ci].shape[0]))
+            bflats.append(bflat)
+            rows = tbricks_list[ci][bflat]                 # [B, FS, 128]
+            off = i0 - (corner2 * 2)[:, None, :, :]        # in [0, 3]
+            off5 = off[..., 0] * 25 + off[..., 1] * 5 + off[..., 2]
+            oh = (off5[..., None] == iota128).astype(dtype)
+            acc = jnp.zeros(p.shape[:-1], dtype)
+            for offs in corner_offs:
+                delta = offs[0] * 25 + offs[1] * 5 + offs[2]
+                cell = jnp.sum(jnp.roll(rows[:, None], -delta, axis=-1)
+                               * oh, axis=-1)
+                acc = acc + corner_weight(w, offs) * cell
+            v_oob, g_oob = _aabb_distance_grad(t.bb, p)
+            v = jnp.where(valid, acc, v_oob)
+            if values_only:
+                cur = dict(v=v)
+            else:
+                flat0 = jnp.sum(i0 * t.strides, axis=-1) + int(bases[ci])
+                g_oob_obj = tfm.rotate_vectors(Rb[ci][:, None], g_oob)
+                cur = dict(v=v, valid=valid, g_oob=g_oob_obj,
+                           off5=off5, w=w, flat0=flat0)
+            if best is None:
+                best = cur
+                if not values_only:
+                    best["i"] = jnp.zeros_like(off5)
+            elif values_only:
+                best["v"] = jnp.minimum(best["v"], v)
+            else:
+                better = v < best["v"]
+                best = dict(
+                    v=jnp.where(better, v, best["v"]),
+                    valid=jnp.where(better, valid, best["valid"]),
+                    g_oob=jnp.where(better[..., None], cur["g_oob"],
+                                    best["g_oob"]),
+                    i=jnp.where(better, ci, best["i"]),
+                    off5=jnp.where(better, off5, best["off5"]),
+                    w=jnp.where(better[..., None], w, best["w"]),
+                    flat0=jnp.where(better, cur["flat0"], best["flat0"]))
+        if values_only:
+            return best["v"]
+        best_v, best_i, best_valid = best["v"], best["i"], best["valid"]
+
+        eff_min = jnp.where(best_valid, best_i, C).min(axis=1)   # [B, FS]
+        eff_max = jnp.where(best_valid, best_i, -1).max(axis=1)
+        filler = _scattered_rows((B, FS), nbg_total)
+
+        def candidate(ceff):
+            """LINK-frame gradient channel slices (3 x [B, FS, 128]) and the
+            tile-level rotation matrix [B, FS, 3, 3] of child ``ceff``."""
+            addr = filler
+            r9 = jnp.zeros((B, FS, 3, 3), dtype)
+            for ci in range(C):
+                m = ceff == ci
+                addr = jnp.where(m, int(gbases[ci]) + bflats[ci], addr)
+                r9 = jnp.where(m[..., None, None], Rb[ci][:, None], r9)
+            rows = tgbricks_cat[addr]                    # [B, FS, 384]
+            return [rows[..., c * 128:(c + 1) * 128] for c in range(3)], r9
+
+        ohw = (best["off5"][..., None] == iota128).astype(dtype)
+        cand_specs = [eff_min]
+        if C >= 2:
+            cand_specs.append(jnp.where(eff_max > eff_min, eff_max, -1))
+        if C >= 3:
+            cand_specs.append(None)
+        g_link = None          # winner's LINK-frame lerped gradient
+        cand_r = []            # tile-level candidate rotation matrices
+        cand_mask = []         # per-point is-this-candidate masks
+        covered = jnp.zeros(best_i.shape, dtype=bool)
+        for ceff in cand_specs:
+            if ceff is None:
+                rem = jnp.where(best_valid & ~covered, best_i, C)
+                eff_mid = rem.min(axis=1)
+                ceff = jnp.where(eff_mid < C, eff_mid, -1)
+            chans, r9 = candidate(ceff)
+            acc = [jnp.zeros(best_v.shape, dtype) for _ in range(3)]
+            for offs in corner_offs:
+                delta = offs[0] * 25 + offs[1] * 5 + offs[2]
+                wt = corner_weight(best["w"], offs)
+                for c in range(3):
+                    cell = jnp.sum(
+                        jnp.roll(chans[c][:, None], -delta, axis=-1) * ohw,
+                        axis=-1)
+                    acc[c] = acc[c] + wt * cell
+            g_k = jnp.stack(acc, axis=-1)                # [B, seg, FS, 3]
+            mask_k = best_i == ceff[:, None, :]
+            g_link = g_k if g_link is None else jnp.where(
+                mask_k[..., None], g_k, g_link)
+            cand_r.append(r9)
+            cand_mask.append(mask_k)
+            covered = covered | mask_k
+
+        # per-point rotation with the candidate-selected R: lerp (above,
+        # link frame) THEN rotate — the generic path's op order (rotation
+        # does not distribute over the lerp sum bitwise).  R entries select
+        # per point among the <= 3 tile-level candidate matrices.
+        def rot_entry(o, i):
+            r = cand_r[0][:, None, :, o, i]
+            for k in range(1, len(cand_r)):
+                r = jnp.where(cand_mask[k], cand_r[k][:, None, :, o, i], r)
+            return r
+
+        g_cand = jnp.stack([
+            rot_entry(o, 0) * g_link[..., 0]
+            + rot_entry(o, 1) * g_link[..., 1]
+            + rot_entry(o, 2) * g_link[..., 2] for o in range(3)], axis=-1)
+
+        if C <= 3:
+            return best_v, jnp.where(best_valid[..., None], g_cand,
+                                     best["g_oob"]), best_i
+
+        # ---- residual: tiles with >= 4 distinct winners ----
+        middle = jnp.any(best_valid & ~covered, axis=1)  # [B, FS]
+        mflat = middle.reshape(-1)
+        cap = min(B * FS, max(int(math.ceil(B * FS * residual_frac)),
+                              min(32, B * FS) if residual_frac >= 1e-6
+                              else 1))
+        (idx,) = jnp.nonzero(mflat, size=cap, fill_value=B * FS)
+        bi, fi = idx // FS, idx % FS
+        bi_s = jnp.minimum(bi, B - 1)
+        fi_s = jnp.minimum(fi, FS - 1)
+        assert int(bases[-1]) < (1 << 28) and C <= 8
+        packed_t = jnp.swapaxes(best["flat0"] | (best_i << 28), 1, 2)
+        res_packed = packed_t[bi_s, fi_s]                # [cap, seg]
+        res_win = res_packed >> 28
+        res_flat0 = res_packed & ((1 << 28) - 1)
+        pad = (idx >= B * FS)[:, None]
+        res_flat0 = jnp.where(pad, _scattered_rows((cap, seg),
+                                                   int(bases[-1]) // 2),
+                              res_flat0)
+        res_win = jnp.where(pad, 0, res_win)
+        res_w = jnp.swapaxes(best["w"], 1, 2)[bi_s, fi_s]  # [cap, seg, 3]
+        # winner child's ravel strides per residual point
+        strides_res = jnp.zeros((cap, seg, 3), jnp.int32)
+        rr = jnp.zeros((cap, seg, 3, 3), dtype)
+        for ci, t in enumerate(smalls):
+            m = res_win == ci
+            strides_res = jnp.where(m[..., None], t.strides, strides_res)
+            rr = jnp.where(m[..., None, None], Rb[ci][bi_s][:, None], rr)
+        acc = jnp.zeros((cap, seg, 3), dtype)
+        for offs in corner_offs:
+            doff = (offs[0] * strides_res[..., 0]
+                    + offs[1] * strides_res[..., 1] + offs[2])
+            rowsr = vg_cat[res_flat0 + doff][..., 1:4]   # [cap, seg, 3]
+            acc = acc + corner_weight(res_w, offs)[..., None] * rowsr
+        res_g_obj = tfm.rotate_vectors(rr, acc[..., None, :])[..., 0, :]
+        g_sc = jnp.zeros((B, FS, seg, 3), dtype).at[bi, fi].set(
+            res_g_obj, mode="drop")
+        g_res = jnp.swapaxes(g_sc, 1, 2)
+        mint = mflat.astype(jnp.int32)
+        rank = (jnp.cumsum(mint) - mint).reshape(B, FS)
+        overflow = middle & (rank >= cap)
+
+        g_in = jnp.where(middle[:, None, :, None], g_res, g_cand)
+        g_in = jnp.where(overflow[:, None, :, None], jnp.float32(np.nan),
+                         g_in)
+        g_obj = jnp.where(best_valid[..., None], g_in, best["g_oob"])
+        return best_v, g_obj, best_i
+
+    if values_only:
+        return lambda pts_c, tbricks_list: eval_union(pts_c, tbricks_list)
+
+    @jax.custom_vjp
+    def lookup(pts_c, tbricks_list, tgbricks_cat, vg_cat, Rb):
+        return eval_union(pts_c, tbricks_list, tgbricks_cat, vg_cat, Rb)
+
+    def fwd(pts_c, tbricks_list, tgbricks_cat, vg_cat, Rb):
+        val, g_obj, win = eval_union(pts_c, tbricks_list, tgbricks_cat,
+                                     vg_cat, Rb)
+        return (val, g_obj, win), (g_obj, win, Rb)
+
+    def bwd(residual, cotangents):
+        g_obj, win, Rb = residual
+        ct_val, ct_g = cotangents[0], cotangents[1]
+        d_pts = []
+        d_Rb = []
+        for ci in range(C):
+            mask = (win == ci).astype(g_obj.dtype)
+            r = Rb[ci][:, None, None]
+            g_link = jnp.stack(
+                [r[..., 0, i] * g_obj[..., 0] + r[..., 1, i] * g_obj[..., 1]
+                 + r[..., 2, i] * g_obj[..., 2] for i in range(3)], axis=-1)
+            d_pts.append(mask[..., None] * (ct_val[..., None] * g_link))
+            ct_gm = ct_g * mask[..., None]
+            d_Rb.append(jnp.stack(
+                [jnp.stack([jnp.sum(ct_gm[..., o] * g_link[..., i],
+                                    axis=(1, 2)) for i in range(3)], axis=-1)
+                 for o in range(3)], axis=-2))
+        d_tb = tuple(jnp.zeros(s, d) for s, d in tb_sd)
+        return (jnp.stack(d_pts), d_tb,
+                jnp.zeros(tgb_sd[0], tgb_sd[1]),
+                jnp.zeros(vg_sd[0], vg_sd[1]),
+                jnp.stack(d_Rb))
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
 def _coherent_single_lookup(t: _CoherentTables, b4_sd: tuple,
                             seg: int = COHERENT_SEG):
     """Single-cached-child variant of :func:`_coherent_union_lookup`: with no
@@ -1424,8 +1726,10 @@ def coherent_generic_aux(children: Sequence["ObjectFrameSDF"]):
     through your jit as an argument alongside ``fast_tables`` when any
     generic child carries big tables (trilinear/GT-fallback caches,
     narrow-band meshes)."""
-    return tuple(s.raw_query_aux() for s in children
-                 if not _is_coherent_fast_child(s))
+    if _coherent_single_trilinear_child(children) is not None:
+        return ()
+    _, _, generic = _coherent_classify(children)
+    return tuple(children[i].raw_query_aux() for i in generic)
 
 
 def compose_query_coherent(children: Sequence[ObjectFrameSDF],
@@ -1503,8 +1807,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         # [B, seg, FS(, 3)] engine output -> the caller-facing [B, F(, 3)]
         return jnp.swapaxes(x_sm, 1, 2).reshape((batch, F) + trailing)
 
-    fast = [i for i, s in enumerate(children) if _is_coherent_fast_child(s)]
-    generic = [i for i in range(S) if i not in fast]
+    fast, tri_u, generic = _coherent_classify(children)
     if generic_aux is None:
         # trace-time fetch: correct, but captures any big generic-child
         # tables as program constants — thread coherent_generic_aux(children)
@@ -1542,7 +1845,7 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         g = tfm.rotate_vectors(R_back[0][:, None], g_link)
         return unflatten(val), unflatten(g, (3,))
 
-    if values_only and not fast:
+    if values_only and not fast and not tri_u:
         best_v = None
         for k, i in enumerate(generic):
             v, _ = generic_query(
@@ -1552,6 +1855,51 @@ def compose_query_coherent(children: Sequence[ObjectFrameSDF],
         return unflatten(best_v)
 
     best_v = best_g = best_i = None
+    if tri_u:
+        # multi-child TRILINEAR union (r5): value lerp from 5x5x5 value
+        # bricks per (child, tile), winner gradient from per-tile candidate
+        # gradient bricks — see _coherent_union_lookup_tile_tri
+        if fast_tables is not None:
+            ttables = fast_tables
+            if len(ttables) != len(tri_u):
+                raise ValueError(
+                    f"fast_tables holds {len(ttables)} table sets but "
+                    f"{len(tri_u)} children take the trilinear union path")
+        else:
+            ttables = [children[i]._coherent_tables(
+                with_value_bricks=False, with_tri_value_bricks=True,
+                with_tri_gradonly_bricks=True) for i in tri_u]
+        with jax.ensure_compile_time_eval():
+            smalls = [children[i]._coherent_tables(with_value_bricks=False)
+                      for i in tri_u]
+        tb_sd = [(t.tbricks.shape, t.tbricks.dtype) for t in ttables]
+        pts_tri = jnp.stack([pts_all[i] for i in tri_u])
+        if values_only:
+            values = _coherent_union_lookup_tile_tri(
+                smalls, tb_sd, None, None, None, seg=seg, values_only=True)
+            best_v = values(jax.lax.stop_gradient(pts_tri),
+                            tuple(jax.lax.stop_gradient(t.tbricks)
+                                  for t in ttables))
+            for k, i in enumerate(generic):
+                v, _ = generic_query(
+                    k, i,
+                    jax.lax.stop_gradient(pts_all[i].reshape(batch * F, 3)))
+                best_v = jnp.minimum(best_v, v.reshape(batch, seg, FS))
+            return unflatten(best_v)
+        vg_cat = jnp.concatenate([t.vg for t in ttables], axis=0)
+        tg_cat = jnp.concatenate([t.tgbricks for t in ttables], axis=0)
+        rb = jnp.stack([R_back[i] for i in tri_u])       # [C, B, 3, 3]
+        lookup = _coherent_union_lookup_tile_tri(
+            smalls, tb_sd, (tg_cat.shape, tg_cat.dtype),
+            (vg_cat.shape, vg_cat.dtype), (rb.shape, rb.dtype), seg=seg,
+            residual_frac=residual_frac)
+        val, best_g, win = lookup(pts_tri,
+                                  tuple(t.tbricks for t in ttables),
+                                  tg_cat, vg_cat, rb)
+        best_i = jnp.zeros(val.shape, dtype=jnp.int32)
+        for ci, i in enumerate(tri_u):
+            best_i = jnp.where(win == ci, i, best_i)
+        best_v = val
     if fast:
         if fast_tables is not None:
             tables = fast_tables
@@ -1748,8 +2096,11 @@ class ComposedSDF(ObjectFrameSDF):
             return False
         pts_all = np.asarray(tfm.transform_points(m, pts)).reshape(S, B, F, 3)
         tri = _coherent_single_trilinear_child(self.sdfs)
+        fast_idx, tri_idx, _ = _coherent_classify(self.sdfs)
+        tri_set = set(tri_idx)
         for i, s in enumerate(self.sdfs):
-            if not (_is_coherent_fast_child(s) or s is tri):
+            is_tri = s is tri or i in tri_set
+            if not (i in fast_idx or is_tri):
                 continue
             # only the tiny grid fields are needed — do NOT trigger the lazy
             # 8x brick-table device build just to gate the fast path (f32
@@ -1758,7 +2109,7 @@ class ComposedSDF(ObjectFrameSDF):
             res = np.asarray(s.voxels.res, dtype=np.float32)
             n = np.asarray(s.voxels.shape)
             f = (pts_all[i] - lo) / res
-            if s is tri:
+            if is_tri:
                 # trilinear: the 8 interpolation corners of the clipped
                 # floor cell must fit the 5-window at the stride-2 anchor
                 fc = np.clip(f, 0.0, (n - 1).astype(np.float32))
@@ -2095,7 +2446,9 @@ class CachedSDF(ObjectFrameSDF):
     def _coherent_tables(self, with_grad_bricks: bool = False,
                          with_tri_bricks: bool = False,
                          with_value_bricks: bool = True,
-                         with_gradonly_bricks: bool = False) \
+                         with_gradonly_bricks: bool = False,
+                         with_tri_value_bricks: bool = False,
+                         with_tri_gradonly_bricks: bool = False) \
             -> _CoherentTables:
         """Static tables for the segmented brick-gather fast path (built once,
         lazily): the packed (value, grad) rows plus overlapping 4x4x4 bricks
@@ -2117,12 +2470,17 @@ class CachedSDF(ObjectFrameSDF):
         if (c is not None and (not with_grad_bricks or c.bricks4 is not None)
                 and (not with_tri_bricks or c.bricks5 is not None)
                 and (not with_value_bricks or c.bricks is not None)
-                and (not with_gradonly_bricks or c.gbricks is not None)):
+                and (not with_gradonly_bricks or c.gbricks is not None)
+                and (not with_tri_value_bricks or c.tbricks is not None)
+                and (not with_tri_gradonly_bricks
+                     or c.tgbricks is not None)):
             return c
         return self._build_coherent_tables(
             with_grad_bricks=with_grad_bricks,
             with_tri_bricks=with_tri_bricks,
             with_value_bricks=with_value_bricks,
+            with_tri_value_bricks=with_tri_value_bricks,
+            with_tri_gradonly_bricks=with_tri_gradonly_bricks,
             with_gradonly_bricks=with_gradonly_bricks)
 
     def _brick_expand(self, vol: jnp.ndarray, nb: np.ndarray,
@@ -2148,7 +2506,9 @@ class CachedSDF(ObjectFrameSDF):
     def _build_coherent_tables(self, with_grad_bricks: bool = False,
                                with_tri_bricks: bool = False,
                                with_value_bricks: bool = True,
-                               with_gradonly_bricks: bool = False) \
+                               with_gradonly_bricks: bool = False,
+                               with_tri_value_bricks: bool = False,
+                               with_tri_gradonly_bricks: bool = False) \
             -> _CoherentTables:
         # device-side build from the already-resident (value, grad) rows: the
         # 8x brick expansion never crosses the (slow, tunneled) host link.
@@ -2192,10 +2552,10 @@ class CachedSDF(ObjectFrameSDF):
                                         nb)
                 gbricks = jnp.swapaxes(
                     g3.reshape(-1, 64, 3), 1, 2).reshape(-1, 192)
+            # 5x5x5 windows need one more padded cell (anchor 2*(nb-1)
+            # + extent 5) than the 4x4x4 expansion's npad
+            pad5 = [(0, int(npad[d] + 1 - n[d])) for d in range(3)]
             if with_tri_bricks and bricks5 is None:
-                # 5x5x5 windows need one more padded cell (anchor 2*(nb-1)
-                # + extent 5) than the 4x4x4 expansion's npad
-                pad5 = [(0, int(npad[d] + 1 - n[d])) for d in range(3)]
                 if vol4 is None:
                     vol4 = self._vg.reshape(tuple(int(d) for d in n) + (4,))
                 b5 = self._brick_expand(
@@ -2205,6 +2565,25 @@ class CachedSDF(ObjectFrameSDF):
                 b5 = jnp.swapaxes(b5.reshape(-1, 125, 4), 1, 2)
                 bricks5 = jnp.pad(b5, ((0, 0), (0, 0), (0, 3))).reshape(
                     -1, 512)
+            tbricks = prev.tbricks if prev is not None else None
+            if with_tri_value_bricks and tbricks is None:
+                # value-only 5x5x5 rows, lane-padded 125 -> 128 (512 B) for
+                # the multi-child trilinear union's value lerp
+                vol1 = self._vg[:, 0].reshape(tuple(int(d) for d in n))
+                tb = self._brick_expand(jnp.pad(vol1, pad5), nb, width=5)
+                tbricks = jnp.pad(tb, ((0, 0), (0, 3)))
+            tgbricks = prev.tgbricks if prev is not None else None
+            if with_tri_gradonly_bricks and tgbricks is None:
+                # gradient-only 5x5x5 channel-major rows
+                # [gx x128 | gy x128 | gz x128] (1.5 KB) for the multi-child
+                # trilinear union's per-TILE winner candidates
+                vol3t = self._vg[:, 1:4].reshape(tuple(int(d) for d in n)
+                                                 + (3,))
+                tg = self._brick_expand(jnp.pad(vol3t, pad5 + [(0, 0)]),
+                                        nb, width=5)
+                tg = jnp.swapaxes(tg.reshape(-1, 125, 3), 1, 2)
+                tgbricks = jnp.pad(tg, ((0, 0), (0, 0), (0, 3))).reshape(
+                    -1, 384)
             # reuse the packed rows _build_raw already holds (one HBM copy)
             vg = self._vg  # set unconditionally by _build_raw in __init__
             self._coherent_cache = _CoherentTables(
@@ -2215,7 +2594,8 @@ class CachedSDF(ObjectFrameSDF):
                 vg=vg, bricks=bricks,
                 bstrides=jnp.asarray(bstrides, dtype=jnp.int32),
                 bb=jnp.asarray(np.asarray(self.bb), dtype=jnp.float32),
-                bricks4=bricks4, bricks5=bricks5, gbricks=gbricks)
+                bricks4=bricks4, bricks5=bricks5, gbricks=gbricks,
+                tbricks=tbricks, tgbricks=tgbricks)
         return self._coherent_cache
 
     def surface_bounding_box(self, padding=0.0, padding_ratio=0.0):

@@ -624,7 +624,8 @@ def test_multi_child_tables_skip_grad_bricks(robot):
     assert all(t.bricks4 is None for t in ft)
 
 
-def _junction_union(tmp_path, n_children=3, radius=0.012):
+def _junction_union(tmp_path, n_children=3, radius=0.012,
+                    interpolation="nearest"):
     """A union of small cached spheres whose centers sit on a circle of
     ``radius`` in the x-y plane: a query tile containing the circle's center
     sees every angular Voronoi sector at once — forcing tiles with many
@@ -637,6 +638,7 @@ def _junction_union(tmp_path, n_children=3, radius=0.012):
     for i in range(n_children):
         gt = pv.SphereSDF(0.02)
         c = pv.CachedSDF(f"j{i}", 0.04, np.array([[-0.5, 0.5]] * 3), gt,
+                         interpolation=interpolation,
                          cache_path=str(tmp_path / f"j{i}.npz"))
         children.append(c)
         ang = 2 * np.pi * i / n_children
@@ -745,6 +747,161 @@ def test_tile_winner_backward_matches_generic(robot):
 
     def loss_gen(qq):
         m, m_inv = robot._link_transforms(qq)
+        v, g = compose_query(raws, m, m_inv, qq.shape[0], pts_t)
+        return v.sum() + g.sum()
+
+    g_tile = jax.grad(loss_tile)(q)
+    g_gen = jax.grad(loss_gen)(q)
+    np.testing.assert_allclose(np.asarray(g_tile), np.asarray(g_gen),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def tri_robot(tmp_path_factory):
+    """3-link arm with TRILINEAR cached links (the multi-child trilinear
+    union fast path, r5)."""
+    d = str(tmp_path_factory.mktemp("tri_arm"))
+    urdf_path, end_link = make_serial_arm(d, num_joints=3, segments=8,
+                                          rings=2)
+    chain = pv.build_serial_chain_from_urdf(open(urdf_path).read(), end_link)
+    return pv.RobotSDF(
+        chain, path_prefix=d,
+        link_sdf_cls=pv.cache_link_sdf_factory(
+            resolution=0.04, padding=0.3, interpolation="trilinear",
+            cache_path=str(tmp_path_factory.mktemp("tc") / "cache.npz")))
+
+
+def test_multi_trilinear_union_fast_path(tri_robot):
+    """A union of trilinear cached links takes the 5x5x5 tile union
+    (tbricks/tgbricks tables) and matches the generic path bit-for-bit on
+    CPU, for both line (seg=4) and tile (seg=12/27) layouts."""
+    from pytorch_volumetric_tpu.sdf import coherent_fast_tables
+
+    ft = coherent_fast_tables(tri_robot.sdf.sdfs)
+    assert len(ft) == len(tri_robot.sdf.sdfs)
+    assert all(t.tbricks is not None and t.tgbricks is not None for t in ft)
+    assert all(t.bricks is None for t in ft)  # no 4x4x4 build for tri links
+
+    q = _configs()
+    tri_robot.set_joint_configuration(q)
+    for rng_pd in (np.array([[-0.6, 0.3], [0.01, 0.01], [-0.3, 0.7]]),
+                   np.array([[-0.3, 0.2], [-0.15, 0.2], [-0.1, 0.5]])):
+        pts_t, take, seg = pv.get_coherent_tile_points(
+            0.02, rng_pd, cache_resolution=0.04)
+        assert tri_robot.sdf.check_coherent_contract(pts_t, seg=seg)
+        _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, rng_pd)
+        v_gen, g_gen = tri_robot.sdf(pts_g)
+        v_t, g_t = tri_robot.sdf.query_coherent(pts_t, seg=seg,
+                                                debug_check=True)
+        assert np.isfinite(np.asarray(g_t)).all()
+        if jax.default_backend() == "cpu":
+            np.testing.assert_array_equal(np.asarray(v_t)[:, take],
+                                          np.asarray(v_gen))
+            np.testing.assert_array_equal(np.asarray(g_t)[:, take],
+                                          np.asarray(g_gen))
+        else:
+            np.testing.assert_allclose(np.asarray(v_t)[:, take],
+                                       np.asarray(v_gen), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(g_t)[:, take],
+                                       np.asarray(g_gen), atol=1e-5)
+        # values_only variant agrees
+        v_vo = tri_robot.sdf.query_coherent(pts_t, seg=seg, values_only=True)
+        np.testing.assert_array_equal(np.asarray(v_vo), np.asarray(v_t))
+
+
+def test_multi_trilinear_query_grid(tri_robot):
+    """RobotSDF.query_grid routes trilinear-link robots through the tile
+    union (coherent_min_cache_resolution counts them now)."""
+    q = _configs()
+    query_range = np.array([[-0.4, 0.2], [0.0, 0.0], [-0.1, 0.5]])
+    v, g = tri_robot.query_grid(q, query_range, 0.02)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, query_range)
+    v_ref, g_ref = tri_robot.query(q, pts_g)
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v).reshape(3, -1),
+                                      np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(g).reshape(3, -1, 3),
+                                      np.asarray(g_ref))
+    else:
+        np.testing.assert_allclose(np.asarray(v).reshape(3, -1),
+                                   np.asarray(v_ref), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g).reshape(3, -1, 3),
+                                   np.asarray(g_ref), atol=1e-5)
+
+
+def test_multi_trilinear_residual_and_overflow(tmp_path):
+    """>= 4-winner tiles in a trilinear union take the exact per-point
+    8-corner residual lane; capacity overflow NaN-poisons loudly."""
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            compose_query_coherent)
+
+    sdf = _junction_union(tmp_path, n_children=6, interpolation="trilinear")
+    qr = np.array([[-0.07, 0.05], [-0.07, 0.05], [-0.04, 0.04]])
+    pts_t, take, seg = pv.get_coherent_tile_points(0.02, qr,
+                                                   cache_resolution=0.04)
+    assert sdf.check_coherent_contract(pts_t, seg=seg)
+    _, pts_g = pv.get_coordinates_and_points_in_grid(0.02, qr)
+    v_gen, g_gen = sdf(pts_g)
+    v_coh, g_coh = sdf.query_coherent(pts_t, seg=seg)
+    assert np.isfinite(np.asarray(g_coh)).all()
+    if jax.default_backend() == "cpu":
+        np.testing.assert_array_equal(np.asarray(v_coh)[take],
+                                      np.asarray(v_gen))
+        np.testing.assert_array_equal(np.asarray(g_coh)[take],
+                                      np.asarray(g_gen))
+    else:
+        np.testing.assert_allclose(np.asarray(v_coh)[take],
+                                   np.asarray(v_gen), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_coh)[take],
+                                   np.asarray(g_gen), atol=1e-5)
+
+    # near-zero capacity -> NaN-poisoned gradients, untouched values
+    # (compare two EAGER compose calls: eager vs jit differ by FMA
+    # contraction ~1 ulp, so the jitted query_coherent result above is not
+    # the right bitwise reference here)
+    children = tuple(sdf.sdfs)
+    ft = coherent_fast_tables(children)
+    m = sdf.obj_frame_to_link_frame.get_matrix()
+    m_inv = sdf.link_frame_to_obj_frame
+    v_ref, g_ref = compose_query_coherent(children, m, m_inv, 1, pts_t,
+                                          fast_tables=ft, seg=seg)
+    v_of, g_of = compose_query_coherent(children, m, m_inv, 1, pts_t,
+                                        fast_tables=ft, seg=seg,
+                                        residual_frac=1e-9)
+    np.testing.assert_array_equal(np.asarray(v_of), np.asarray(v_ref))
+    g_of = np.asarray(g_of)[0]
+    assert np.isnan(g_of).any()
+    ok = np.isfinite(g_of).all(axis=-1)
+    np.testing.assert_array_equal(g_of[ok], np.asarray(g_ref)[0][ok])
+
+
+def test_multi_trilinear_backward_matches_generic(tri_robot):
+    """Joint-angle gradients through the trilinear tile union match the
+    generic trilinear path."""
+    from pytorch_volumetric_tpu.sdf import (coherent_fast_tables,
+                                            coherent_generic_aux,
+                                            compose_query,
+                                            compose_query_coherent)
+
+    q = _configs()
+    children = tuple(tri_robot.sdf.sdfs)
+    ft = coherent_fast_tables(children)
+    ga = coherent_generic_aux(children)
+    assert ga == ()  # every child takes the trilinear union
+    qr = np.array([[-0.5, 0.3], [0.01, 0.01], [-0.3, 0.5]])
+    pts_t, take, seg = pv.get_coherent_tile_points(0.02, qr,
+                                                   cache_resolution=0.04)
+
+    def loss_tile(qq):
+        m, m_inv = tri_robot._link_transforms(qq)
+        v, g = compose_query_coherent(children, m, m_inv, qq.shape[0],
+                                      pts_t, fast_tables=ft, seg=seg)
+        return v.sum() + g.sum()
+
+    raws = tuple(s.raw_query for s in children)
+
+    def loss_gen(qq):
+        m, m_inv = tri_robot._link_transforms(qq)
         v, g = compose_query(raws, m, m_inv, qq.shape[0], pts_t)
         return v.sum() + g.sum()
 
