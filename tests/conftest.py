@@ -21,6 +21,17 @@ if not os.environ.get("PVT_TEST_TPU"):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+if os.environ.get("PVT_TEST_TPU"):
+    # axon remote compiles take minutes per program; persist them so TPU
+    # suite runs (and re-runs) amortize compiles with bench/northstar
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bench_cache", "xla_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 
 @pytest.fixture
 def rng():
